@@ -1,0 +1,108 @@
+"""Time-weighted DLT triangulation with per-joint view masks.
+
+This is the TPU-native equivalent of the reference's production kernel
+`SVD_pose_kernel_jf` (`src/utils/construction.py:89-114`):
+
+  * each (view v, joint j) contributes two normalized DLT rows
+        r0 = (x * P_v[2] - P_v[0]) / ||.||,  r1 = (y * P_v[2] - P_v[1]) / ||.||
+    weighted by exp(-lambda_t * T_v) (T_v = frames since that view's 2D pose),
+  * per joint, the 3D point is the null vector of the stacked kept rows,
+  * joints with fewer than 2 kept views fall back to the motion-predicted pose.
+
+Instead of a ragged per-joint SVD, we zero out masked rows and take the
+smallest eigenvector of the 4x4 normal matrix A^T A per joint — zero rows do
+not change A^T A, so this is exactly the reference's SVD null vector (up to
+sign, which the dehomogenization removes), and batched 4x4 eigh maps far
+better onto TPU than many small ragged SVDs.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dlt_design_rows(P, poses_xy, weights):
+    """Per-view, per-joint normalized + weighted DLT row pairs.
+
+    Args:
+      P: (V, 3, 4) projection matrices.
+      poses_xy: (V, J, 2) 2D joints (x, y).
+      weights: (V,) scalar weight per view (e.g. exp(-lambda_t * T_v)).
+
+    Returns:
+      (V, J, 2, 4) rows.
+    """
+    x = poses_xy[..., 0]  # (V, J)
+    y = poses_xy[..., 1]
+    r0 = x[..., None] * P[:, None, 2, :] - P[:, None, 0, :]  # (V, J, 4)
+    r1 = y[..., None] * P[:, None, 2, :] - P[:, None, 1, :]
+    rows = jnp.stack([r0, r1], axis=2)  # (V, J, 2, 4)
+    norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
+    norm = jnp.where(norm == 0.0, 1.0, norm)
+    rows = rows / norm * weights[:, None, None, None]
+    return rows
+
+
+def _smallest_eigvec_4x4(M):
+    """Eigenvector of the smallest eigenvalue for batched symmetric (…,4,4)."""
+    w, v = jnp.linalg.eigh(M)
+    return v[..., :, 0]
+
+
+def triangulate_joints(P, poses_xy, view_weights, keep_mask, fallback=None,
+                       min_views: int = 2):
+    """Triangulate J joints from V views with per-joint view masks.
+
+    Args:
+      P: (V, 3, 4) projection matrices.
+      poses_xy: (V, J, 2) 2D joints (x, y).
+      view_weights: (V,) time weights exp(-lambda_t * T_v).
+      keep_mask: (V, J) bool — view v participates in joint j.
+      fallback: optional (J, 3) pose used for joints with < min_views kept
+                views (the reference's motion-predicted `next_pose`,
+                `src/utils/construction.py:106-107`).
+      min_views: minimum kept views for triangulation (reference: 2).
+
+    Returns:
+      pose3d: (J, 3)
+      n_views: (J,) int32 number of kept views per joint.
+    """
+    rows = dlt_design_rows(P, poses_xy[..., :2], view_weights)  # (V, J, 2, 4)
+    rows = rows * keep_mask[:, :, None, None]
+    # Normal matrix per joint: sum over views and the 2 rows.
+    M = jnp.einsum("vjra,vjrb->jab", rows, rows, precision="highest")  # (J, 4, 4)
+    X = _smallest_eigvec_4x4(M)  # (J, 4)
+    w = X[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    pts = X[..., :3] / w
+    n_views = jnp.sum(keep_mask, axis=0).astype(jnp.int32)
+    if fallback is not None:
+        pts = jnp.where((n_views >= min_views)[:, None], pts, fallback)
+    return pts, n_views
+
+
+def triangulate_pairwise(P_a, P_b, pts_a, pts_b):
+    """Two-view homogeneous DLT (cv2.triangulatePoints semantics).
+
+    The reference's alternative build path `top_down_pose_kernel`
+    (`src/utils/construction.py:9-31`) and `Person2d.triangulate`
+    (`src/tracking/hypothesis.py:112-151`) use OpenCV's two-view DLT; this is
+    the same unnormalized 4-row system solved by the null vector.
+
+    Args:
+      P_a, P_b: (3, 4) projection matrices.
+      pts_a, pts_b: (J, 2) points (x, y).
+
+    Returns:
+      (J, 3) triangulated points.
+    """
+    def rows_for(P, pts):
+        r0 = pts[:, 0:1] * P[2][None, :] - P[0][None, :]
+        r1 = pts[:, 1:2] * P[2][None, :] - P[1][None, :]
+        return jnp.stack([r0, r1], axis=1)  # (J, 2, 4)
+
+    A = jnp.concatenate([rows_for(P_a, pts_a), rows_for(P_b, pts_b)], axis=1)
+    M = jnp.einsum("jra,jrb->jab", A, A, precision="highest")
+    X = _smallest_eigvec_4x4(M)
+    w = X[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    return X[..., :3] / w

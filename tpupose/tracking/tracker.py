@@ -1,0 +1,550 @@
+"""Fixed-capacity, fully jittable multi-view 3D pose tracker.
+
+TPU-first re-design of the reference's `IterativeTracker` + `IterTrack` +
+`Hypothesis` (`src/tracking/IterativeTracker.py`, `src/tracking/hypothesis.py`):
+instead of dynamic Python lists of track objects, tracker state is a
+struct-of-arrays pytree with static capacities (MAX_TRACKS, MAX_DETS,
+MAX_HYP) and validity masks, so a whole frame step compiles to one XLA
+program and clips run under `lax.scan`. Semantics are specified by — and
+tested for equality against — `tpupose.tracking.oracle.OracleTracker`.
+
+Design notes (SURVEY.md §7 "hard parts"):
+  * association is vmapped over cameras (the reference's per-camera loop
+    reads only pre-frame state, so cameras are independent);
+  * the per-track 3D update is vmapped over track slots;
+  * Hungarian assignment runs on-device (`tpupose.ops.lap`);
+  * the data-dependent greedy loops (per-joint view dropping, hypothesis
+    veto/merge) become fixed-iteration masked updates (<= C(C-1)/2 pairs,
+    <= C cameras).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.geometry import (
+    CameraSet,
+    back_project_rays,
+    epipolar_distance_matrix,
+    line_point_distance_3d,
+    project_points,
+    triangulate_joints,
+)
+from tpupose.ops import masked_lap, smooth_last_pose
+
+NEVER = np.int32(-(10**8))  # "no 2D pose stored" timestamp sentinel
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static tracker configuration (hashable -> usable as a jit static arg).
+
+    Hyper-parameters mirror the YAML PERSON_MATCHERS.ITERATIVE block
+    (SURVEY.md §2.1); capacities are new (the reference uses unbounded
+    Python lists).
+    """
+
+    num_cameras: int
+    num_joints: int = 17
+    max_tracks: int = 16
+    max_dets: int = 16
+    max_hyp: int = 40
+    hist_len: int = 12
+    conf_threshold: float = 0.4
+    epi_threshold: float = 25.0
+    init_threshold: float = 15.0
+    joint_threshold: float = 15.0
+    n_init: int = 3
+    max_age: int = 10
+    alpha2d: float = 30.0
+    lambda_a: float = 3.0
+    lambda_t: float = 5.0
+    sigma: float = 0.6
+    arm_sigma: float = 0.8
+    joint_gate: int = 10
+    update_window: int = 3
+    arm_joints: tuple = (9, 10)
+
+
+class TrackerState(NamedTuple):
+    """Struct-of-arrays track store. T = max_tracks, C = cameras, J = joints,
+    H = hist_len."""
+
+    active: jnp.ndarray       # (T,) bool
+    confirmed: jnp.ndarray    # (T,) bool
+    track_id: jnp.ndarray     # (T,) int32
+    hits: jnp.ndarray         # (T,) int32
+    time_since_update: jnp.ndarray  # (T,) int32
+    already_update: jnp.ndarray     # (T,) bool
+    pose2d: jnp.ndarray       # (T, C, J, 3) latest 2D pose per camera (x, y, s)
+    pose2d_time: jnp.ndarray  # (T, C) int32, NEVER if unset
+    hist_pose: jnp.ndarray    # (T, H, J, 3) chronological 3D history
+    hist_time: jnp.ndarray    # (T, H) int32
+    hist_count: jnp.ndarray   # (T,) int32 (>= 1 for active)
+    last_n_views: jnp.ndarray  # (T, J) int32
+    velocity: jnp.ndarray     # (T, J, 3)
+    next_id: jnp.ndarray      # () int32
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame harvest: confirmed, just-updated tracks
+    (`src/ivclabpose.py:259-287`)."""
+
+    valid: jnp.ndarray      # (T,) bool
+    track_id: jnp.ndarray   # (T,) int32
+    pose3d: jnp.ndarray     # (T, J, 3)
+    n_views: jnp.ndarray    # (T, J) int32
+    pose2d: jnp.ndarray     # (T, C, J, 3)
+    pose2d_now: jnp.ndarray  # (T, C) bool — 2D pose is from this frame
+
+
+def init_state(cfg: TrackerConfig) -> TrackerState:
+    T, C, J, H = cfg.max_tracks, cfg.num_cameras, cfg.num_joints, cfg.hist_len
+    return TrackerState(
+        active=jnp.zeros(T, bool),
+        confirmed=jnp.zeros(T, bool),
+        track_id=jnp.full(T, -1, jnp.int32),
+        hits=jnp.zeros(T, jnp.int32),
+        time_since_update=jnp.zeros(T, jnp.int32),
+        already_update=jnp.zeros(T, bool),
+        pose2d=jnp.zeros((T, C, J, 3), jnp.float32),
+        pose2d_time=jnp.full((T, C), NEVER, jnp.int32),
+        hist_pose=jnp.zeros((T, H, J, 3), jnp.float32),
+        hist_time=jnp.full((T, H), NEVER, jnp.int32),
+        hist_count=jnp.zeros(T, jnp.int32),
+        last_n_views=jnp.zeros((T, J), jnp.int32),
+        velocity=jnp.zeros((T, J, 3), jnp.float32),
+        next_id=jnp.int32(0),
+    )
+
+
+def _last_hist(state: TrackerState):
+    """Latest 3D pose + its timestamp per track slot."""
+    idx = jnp.maximum(state.hist_count - 1, 0)
+    pose = jnp.take_along_axis(
+        state.hist_pose, idx[:, None, None, None], axis=1
+    )[:, 0]
+    time = jnp.take_along_axis(state.hist_time, idx[:, None], axis=1)[:, 0]
+    return pose, time
+
+
+# --------------------------------------------------------------------------
+# Phase 1: per-camera association (IterativeTracker.py:132-167)
+# --------------------------------------------------------------------------
+
+def _associate(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
+               dets, det_mask, frame_id):
+    """Returns (matched (C, T) bool, match_col (C, T) int32,
+    unmatched (C, D) bool)."""
+    tracks_pose, last_time = _last_hist(state)
+    dt = jnp.where(state.active, frame_id - last_time, 1).astype(jnp.float32)
+    N = max(cfg.max_tracks, cfg.max_dets)
+
+    def per_cam(P_c, dets_c, mask_c):
+        reproj = project_points(P_c, tracks_pose)  # (T, J, 2)
+        d = jnp.linalg.norm(
+            reproj[:, None, :, :] - dets_c[None, :, :, :2], axis=-1
+        )  # (T, D, J)
+        scores = 1.0 - d / (cfg.alpha2d * dt[:, None, None])
+        pos = scores > 0
+        npos = jnp.sum(pos, axis=-1)
+        aff = jnp.sum(jnp.where(pos, scores, 0.0), axis=-1) / jnp.maximum(npos, 1)
+        aff = jnp.where(npos > cfg.joint_gate, aff, 0.0)
+        aff = aff / jnp.exp(cfg.lambda_a * dt[:, None])
+        pad = jnp.zeros((N, N), jnp.float32)
+        pad = pad.at[: cfg.max_tracks, : cfg.max_dets].set(aff)
+        rv = jnp.zeros(N, bool).at[: cfg.max_tracks].set(state.active)
+        cv = jnp.zeros(N, bool).at[: cfg.max_dets].set(mask_c)
+        col = masked_lap(pad, rv, cv, maximize=True)[: cfg.max_tracks]
+        got = jnp.take_along_axis(
+            aff, jnp.clip(col, 0, cfg.max_dets - 1)[:, None], axis=1
+        )[:, 0]
+        matched = (col >= 0) & (got > 0.0)
+        # Detections claimed by an accepted match are no longer unmatched.
+        claimed = jnp.zeros(cfg.max_dets, bool).at[
+            jnp.where(matched, col, cfg.max_dets)
+        ].set(True, mode="drop")
+        return matched, jnp.where(matched, col, -1), mask_c & ~claimed
+
+    return jax.vmap(per_cam)(cams.P, dets, det_mask)
+
+
+def _apply_matches(state: TrackerState, dets, matched, match_col, frame_id):
+    """Write matched detections into the per-camera 2D store."""
+    # gather detected poses: sel[c, t] = dets[c, match_col[c, t]]
+    sel = jnp.take_along_axis(
+        dets, jnp.clip(match_col, 0)[:, :, None, None], axis=1
+    )  # (C, T, J, 3)
+    m_ct = matched[:, :, None, None]
+    pose2d = jnp.where(jnp.swapaxes(m_ct, 0, 1), jnp.swapaxes(sel, 0, 1), state.pose2d)
+    pose2d_time = jnp.where(matched.T, frame_id, state.pose2d_time)
+    already = state.already_update | jnp.any(matched, axis=0)
+    return state._replace(
+        pose2d=pose2d, pose2d_time=pose2d_time, already_update=already
+    )
+
+
+# --------------------------------------------------------------------------
+# Phase 2: per-track 3D update (IterativeTracker.py:305-395)
+# --------------------------------------------------------------------------
+
+def _greedy_update_keep(cfg, aff, raydist, view_valid):
+    """Per-joint greedy view dropping, mode='update'
+    (matching.py:243-277): for upper-triangle pairs (row-major) with
+    affinity < 0, drop the view whose back-projection ray is farther from the
+    motion-predicted joint. Vectorized over joints; pair loop is static."""
+    C = cfg.num_cameras
+    keep = jnp.tile(view_valid[:, None], (1, cfg.num_joints))
+    for r in range(C):
+        for c in range(r + 1, C):
+            conflict = (aff[r, c] < 0) & keep[r] & keep[c]
+            drop_r = raydist[r] > raydist[c]
+            keep = keep.at[r].set(keep[r] & ~(conflict & drop_r))
+            keep = keep.at[c].set(keep[c] & ~(conflict & ~drop_r))
+    return keep
+
+
+def _greedy_init_keep(cfg, aff, member):
+    """mode='init' (matching.py:286-294): drop the view with the smaller
+    affinity row-sum (sums fixed upfront, over member columns)."""
+    C = cfg.num_cameras
+    row_sums = jnp.sum(jnp.where(member[None, :, None], aff, 0.0), axis=1)  # (C, J)
+    keep = jnp.tile(member[:, None], (1, cfg.num_joints))
+    for r in range(C):
+        for c in range(r + 1, C):
+            conflict = (aff[r, c] < 0) & keep[r] & keep[c]
+            drop_c = row_sums[r] > row_sums[c]
+            keep = keep.at[c].set(keep[c] & ~(conflict & drop_c))
+            keep = keep.at[r].set(keep[r] & ~(conflict & ~drop_c))
+    return keep
+
+
+def _update_tracks(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
+                   frame_id):
+    J = cfg.num_joints
+
+    def one(active, already, pose2d, pose2d_time, hist_pose, hist_time,
+            hist_count, velocity, confirmed, hits, tsu, last_n_views):
+        dt_c = (frame_id - pose2d_time).astype(jnp.int32)  # (C,)
+        view_valid = dt_c <= cfg.update_window
+        n_valid = jnp.sum(view_valid)
+        can = active & already & (n_valid >= 2)
+
+        last_idx = jnp.maximum(hist_count - 1, 0)
+        last_pose = jnp.take(hist_pose, last_idx, axis=0)
+        last_time = jnp.take(hist_time, last_idx, axis=0)
+        next_pose = last_pose + velocity * (frame_id - last_time).astype(jnp.float32)
+
+        D, _ = epipolar_distance_matrix(cams.F, pose2d, valid=view_valid)
+        aff = 1.0 - D / cfg.joint_threshold  # (C, C, J); masked pairs -> 1
+
+        dirs = back_project_rays(cams.rk_inv, pose2d[..., :2])  # (C, J, 3)
+        raydist = line_point_distance_3d(
+            cams.center[:, None, :], dirs, next_pose[None, :, :]
+        )  # (C, J)
+
+        keep = _greedy_update_keep(cfg, aff, raydist, view_valid)
+        n_views = jnp.sum(keep, axis=0).astype(jnp.int32)  # (J,)
+        fail = jnp.sum(n_views < 2)
+        ok = can & (fail * 3 <= J)
+
+        weights = jnp.where(view_valid, jnp.exp(-cfg.lambda_t * dt_c), 0.0)
+        pose3d, _ = triangulate_joints(
+            cams.P, pose2d[..., :2], weights, keep, fallback=next_pose
+        )
+
+        # Smooth over history + candidate (IterativeTracker.py:371-383).
+        ext_pose = jnp.concatenate(
+            [hist_pose, jnp.zeros((1, J, 3), hist_pose.dtype)], axis=0
+        )
+        ext_pose = jax.lax.dynamic_update_index_in_dim(
+            ext_pose, pose3d, hist_count, axis=0
+        )
+        smoothed = smooth_last_pose(
+            ext_pose, hist_count + 1, cfg.sigma, cfg.arm_sigma, cfg.arm_joints
+        )
+
+        # Append + span-based prune (IterativeTracker.py:330-332).
+        new_hist_pose = jax.lax.dynamic_update_index_in_dim(
+            hist_pose, smoothed, jnp.minimum(hist_count, cfg.hist_len - 1), axis=0
+        )
+        new_hist_time = jax.lax.dynamic_update_index_in_dim(
+            hist_time, jnp.int32(frame_id), jnp.minimum(hist_count, cfg.hist_len - 1),
+            axis=0,
+        )
+        new_count = hist_count + 1
+        span_over = frame_id - new_hist_time[0] > cfg.max_age
+        shifted_pose = jnp.roll(new_hist_pose, -1, axis=0)
+        shifted_time = jnp.roll(new_hist_time, -1, axis=0)
+        new_hist_pose = jnp.where(span_over, shifted_pose, new_hist_pose)
+        new_hist_time = jnp.where(span_over, shifted_time, new_hist_time)
+        new_count = jnp.where(span_over, new_count - 1, new_count)
+
+        # Velocity = mean of up to 5 most recent history diffs
+        # (IterativeTracker.py:385-395).
+        diffs = new_hist_pose[1:] - new_hist_pose[:-1]  # (H-1, J, 3)
+        i = jnp.arange(cfg.hist_len - 1)
+        dmask = (i >= new_count - 6) & (i <= new_count - 2)
+        n_diffs = jnp.maximum(jnp.sum(dmask), 1)
+        new_velocity = jnp.sum(
+            jnp.where(dmask[:, None, None], diffs, 0.0), axis=0
+        ) / n_diffs
+
+        # Select: success vs failure (mark_missed, IterativeTracker.py:268-274).
+        hist_pose = jnp.where(ok, new_hist_pose, hist_pose)
+        hist_time = jnp.where(ok, new_hist_time, hist_time)
+        hist_count = jnp.where(ok, new_count, hist_count)
+        velocity = jnp.where(ok, new_velocity, velocity)
+        last_n_views = jnp.where(ok, n_views, last_n_views)
+        hits = jnp.where(ok, hits + 1, hits)
+        tsu = jnp.where(ok, 0, tsu)
+        newly_confirmed = ok & ~confirmed & (hits >= cfg.n_init)
+        confirmed = confirmed | newly_confirmed
+        deleted = active & ~ok & (
+            (~confirmed & ~already) | (tsu >= cfg.max_age)
+        )
+        active = active & ~deleted
+        return (active, confirmed, hits, tsu, hist_pose, hist_time, hist_count,
+                velocity, last_n_views)
+
+    (active, confirmed, hits, tsu, hist_pose, hist_time, hist_count, velocity,
+     last_n_views) = jax.vmap(one)(
+        state.active, state.already_update, state.pose2d, state.pose2d_time,
+        state.hist_pose, state.hist_time, state.hist_count, state.velocity,
+        state.confirmed, state.hits, state.time_since_update, state.last_n_views,
+    )
+    return state._replace(
+        active=active, confirmed=confirmed, hits=hits, time_since_update=tsu,
+        hist_pose=hist_pose, hist_time=hist_time, hist_count=hist_count,
+        velocity=velocity, last_n_views=last_n_views,
+    )
+
+
+# --------------------------------------------------------------------------
+# Phase 3: new-target initialization (IterativeTracker.py:52-113,
+# hypothesis.py:9-77)
+# --------------------------------------------------------------------------
+
+def _hypothesis_costs(cfg, cams, hyp_pose, hyp_member, cam_c, dets_c, det_bel):
+    """Cost / veto of adding camera-c detections to existing hypotheses.
+
+    cost[h, d] = mean over members m of
+        mean_j((d_a * s_member + d_b * s_det) / 2) / epi_threshold
+    veto[h, d] = any member cost > 1 and believe(det) > 0.5
+    (hypothesis.py:53-68).
+    """
+    J = cfg.num_joints
+    Fm = cams.F[:, cam_c]  # (C, 3, 3): F[member_cam, det_cam]
+
+    def hom(p):
+        return jnp.concatenate([p[..., :2], jnp.ones(p.shape[:-1] + (1,))], -1)
+
+    mem_h = hom(hyp_pose)   # (MH, C, J, 3)
+    det_h = hom(dets_c)     # (D, J, 3)
+
+    # Line in member view from det point: l = F x_det  ->  d_a.
+    lines_a = jnp.einsum("mik,djk->mdji", Fm, det_h, precision="highest")  # (C, D, J, 3)
+    na = jnp.sqrt(jnp.sum(lines_a[..., :2] ** 2, -1))
+    na = jnp.where(na == 0, 1.0, na)
+    d_a = jnp.abs(jnp.einsum("hmji,mdji->hmdj", mem_h, lines_a,
+                             precision="highest")) / na[None]
+    # Line in det view from member point: l = F^T x_member  ->  d_b.
+    lines_b = jnp.einsum("mki,hmjk->hmji", Fm, mem_h, precision="highest")  # (MH, C, J, 3)
+    nb = jnp.sqrt(jnp.sum(lines_b[..., :2] ** 2, -1))
+    nb = jnp.where(nb == 0, 1.0, nb)
+    d_b = jnp.abs(jnp.einsum("djk,hmjk->hmdj", det_h, lines_b,
+                             precision="highest")) / nb[:, :, None, :]
+
+    s_mem = hyp_pose[..., 2]  # (MH, C, J)
+    s_det = dets_c[..., 2]    # (D, J)
+    per_joint = (d_a * s_mem[:, :, None, :] + d_b * s_det[None, None]) / 2.0
+    pc = jnp.mean(per_joint, axis=-1) / cfg.epi_threshold  # (MH, C, D)
+
+    n_members = jnp.maximum(jnp.sum(hyp_member, axis=1), 1)
+    cost = jnp.sum(jnp.where(hyp_member[:, :, None], pc, 0.0), axis=1) / n_members[:, None]
+    veto = jnp.any(hyp_member[:, :, None] & (pc > 1.0), axis=1) & (det_bel > 0.5)[None, :]
+    return cost, veto
+
+
+def _init_targets(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
+                  dets, unmatched, frame_id):
+    C, J, MH, D = cfg.num_cameras, cfg.num_joints, cfg.max_hyp, cfg.max_dets
+    scores = dets[..., 2]
+    bel = jnp.mean(jnp.where(scores >= 0, scores, 0.0), axis=-1)  # mean conf (C, D)
+    umask = unmatched & (bel > cfg.conf_threshold)
+
+    hyp_pose = jnp.zeros((MH, C, J, 3), jnp.float32)
+    hyp_member = jnp.zeros((MH, C), bool)
+    hyp_count = jnp.int32(0)
+
+    NLAP = max(MH, D)
+    for c in range(C):
+        dets_c, mask_c, bel_c = dets[c], umask[c], bel[c]
+        hyp_valid = jnp.arange(MH) < hyp_count
+        cost, veto = _hypothesis_costs(
+            cfg, cams, hyp_pose, hyp_member, c, dets_c, bel_c
+        )
+        pad = jnp.full((NLAP, NLAP), 0.0, jnp.float32).at[:MH, :D].set(cost)
+        rv = jnp.zeros(NLAP, bool).at[:MH].set(hyp_valid)
+        cv = jnp.zeros(NLAP, bool).at[:D].set(mask_c)
+        col = masked_lap(pad, rv, cv)[:MH]  # (MH,) det idx or -1
+        got_veto = jnp.take_along_axis(
+            veto, jnp.clip(col, 0)[:, None], axis=1
+        )[:, 0]
+        merged = (col >= 0) & ~got_veto
+        # Merge accepted detections into their hypotheses.
+        mdet = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
+        hyp_pose = hyp_pose.at[:, c].set(
+            jnp.where(merged[:, None, None], mdet, hyp_pose[:, c])
+        )
+        hyp_member = hyp_member.at[:, c].set(merged | hyp_member[:, c])
+        # Spawn order (reference: veto'd assignments in hypothesis order,
+        # then unassigned detections in index order).
+        veto_spawn = (col >= 0) & got_veto  # (MH,)
+        assigned = jnp.zeros(D, bool).at[jnp.where(col >= 0, col, D)].set(
+            True, mode="drop"
+        )
+        unassigned = mask_c & ~assigned  # (D,)
+        n1 = jnp.cumsum(veto_spawn)
+        pos1 = jnp.where(veto_spawn, hyp_count + n1 - 1, MH)  # MH -> dropped
+        n1_total = n1[-1] if MH > 0 else 0
+        n2 = jnp.cumsum(unassigned)
+        pos2 = jnp.where(unassigned, hyp_count + n1_total + n2 - 1, MH)
+        spawn1 = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
+        hyp_pose = hyp_pose.at[pos1, c].set(spawn1, mode="drop")
+        hyp_member = hyp_member.at[pos1, c].set(True, mode="drop")
+        hyp_pose = hyp_pose.at[pos2, c].set(dets_c, mode="drop")
+        hyp_member = hyp_member.at[pos2, c].set(True, mode="drop")
+        hyp_count = jnp.minimum(hyp_count + n1_total + n2[-1], MH)
+
+    # Triangulate hypotheses with >= 2 members (hypothesis.py:23-44).
+    def build(member, poses):
+        n_members = jnp.sum(member)
+        D_t, _ = epipolar_distance_matrix(cams.F, poses, valid=member)
+        aff = 1.0 - D_t / cfg.init_threshold
+        keep = _greedy_init_keep(cfg, aff, member)
+        n_views = jnp.sum(keep, axis=0).astype(jnp.int32)
+        ok = (n_members >= 2) & jnp.all(n_views >= 2)
+        weights = member.astype(jnp.float32)
+        pose3d, _ = triangulate_joints(cams.P, poses[..., :2], weights, keep)
+        return ok, pose3d, n_views
+
+    hyp_valid = jnp.arange(MH) < hyp_count
+    ok, pose3d, n_views = jax.vmap(build)(hyp_member, hyp_pose)
+    ok = ok & hyp_valid
+
+    # Allocate free track slots in hypothesis order.
+    free = ~state.active
+    free_rank = jnp.cumsum(free) - 1  # (T,)
+    hyp_rank = jnp.cumsum(ok) - 1     # (MH,)
+    T = cfg.max_tracks
+    slot_of_hyp = jnp.sum(
+        jnp.where(
+            free[None, :] & (free_rank[None, :] == hyp_rank[:, None]) & ok[:, None],
+            jnp.arange(T)[None, :],
+            0,
+        ),
+        axis=1,
+    )
+    enough = hyp_rank < jnp.sum(free)
+    slot = jnp.where(ok & enough, slot_of_hyp, T)  # T -> dropped
+
+    new_ids = state.next_id + hyp_rank.astype(jnp.int32)
+    st = state
+    st = st._replace(
+        active=st.active.at[slot].set(True, mode="drop"),
+        confirmed=st.confirmed.at[slot].set(False, mode="drop"),
+        track_id=st.track_id.at[slot].set(new_ids, mode="drop"),
+        hits=st.hits.at[slot].set(1, mode="drop"),
+        time_since_update=st.time_since_update.at[slot].set(0, mode="drop"),
+        already_update=st.already_update.at[slot].set(False, mode="drop"),
+        pose2d=st.pose2d.at[slot].set(hyp_pose, mode="drop"),
+        pose2d_time=st.pose2d_time.at[slot].set(
+            jnp.where(hyp_member, frame_id, NEVER), mode="drop"
+        ),
+        hist_pose=st.hist_pose.at[slot].set(0.0, mode="drop"),
+        hist_time=st.hist_time.at[slot].set(NEVER, mode="drop"),
+        hist_count=st.hist_count.at[slot].set(1, mode="drop"),
+        last_n_views=st.last_n_views.at[slot].set(n_views, mode="drop"),
+        velocity=st.velocity.at[slot].set(0.0, mode="drop"),
+    )
+    st = st._replace(
+        hist_pose=st.hist_pose.at[slot, 0].set(pose3d, mode="drop"),
+        hist_time=st.hist_time.at[slot, 0].set(frame_id, mode="drop"),
+        next_id=st.next_id + jnp.sum(ok).astype(jnp.int32),
+    )
+    return st
+
+
+# --------------------------------------------------------------------------
+# Frame step
+# --------------------------------------------------------------------------
+
+def tracker_step(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
+                 dets, det_mask, frame_id):
+    """One tracking frame; fully jittable (cfg static).
+
+    Args:
+      cams: CameraSet with C == cfg.num_cameras.
+      state: TrackerState.
+      dets: (C, D, J, 3) detections, (x, y, score).
+      det_mask: (C, D) bool validity.
+      frame_id: int32 scalar.
+
+    Returns:
+      (new_state, FrameOutput)
+    """
+    dets = jnp.asarray(dets, jnp.float32)
+    # add_age (IterativeTracker.py:126-129)
+    state = state._replace(
+        already_update=jnp.zeros_like(state.already_update),
+        time_since_update=jnp.where(
+            state.active, state.time_since_update + 1, state.time_since_update
+        ),
+    )
+    matched, match_col, unmatched = _associate(
+        cfg, cams, state, dets, det_mask, frame_id
+    )
+    state = _apply_matches(state, dets, matched, match_col, frame_id)
+    state = _update_tracks(cfg, cams, state, frame_id)
+    state = _init_targets(cfg, cams, state, dets, unmatched, frame_id)
+
+    pose3d, _ = _last_hist(state)
+    out = FrameOutput(
+        valid=state.active & state.confirmed & (state.time_since_update == 0),
+        track_id=state.track_id,
+        pose3d=pose3d,
+        n_views=state.last_n_views,
+        pose2d=state.pose2d,
+        pose2d_now=state.pose2d_time == frame_id,
+    )
+    return state, out
+
+
+def make_step_fn(cfg: TrackerConfig):
+    """jit-compiled step closure over a static config."""
+    def step(cams, state, dets, det_mask, frame_id):
+        return tracker_step(cfg, cams, state, dets, det_mask, frame_id)
+
+    return jax.jit(step)
+
+
+def track_clip(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
+               dets, det_mask, frame_ids):
+    """lax.scan over a buffered clip of frames.
+
+    Args:
+      dets: (F, C, D, J, 3); det_mask: (F, C, D); frame_ids: (F,).
+    Returns:
+      (final_state, FrameOutput stacked over F).
+    """
+    def body(carry, xs):
+        d, m, f = xs
+        new_state, out = tracker_step(cfg, cams, carry, d, m, f)
+        return new_state, out
+
+    return jax.lax.scan(body, state, (dets, det_mask, frame_ids))

@@ -1,0 +1,207 @@
+"""Model tests: HRNet/YOLO shapes & invariants, heatmap decode, NMS,
+crop/resize, checkpoint converter round-trips. (No pretrained weights are
+available in this environment; numerical parity with released checkpoints is
+exercised via structure/shape equality and synthetic round-trips.)"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpupose.models.convert import (
+    darknet_array_to_params,
+    torch_state_dict_to_tree,
+    tree_to_torch_state_dict,
+)
+from tpupose.models.hrnet import (
+    hrnet_apply,
+    hrnet_init,
+    hrnet_w48_config,
+    normalize_image,
+    tiny_test_config,
+)
+from tpupose.models.yolov3 import (
+    YoloConfig,
+    conv_in_channels,
+    decode_detections,
+    detect_people,
+    tiny_yolo_test_config,
+    yolov3_apply,
+    yolov3_init,
+)
+from tpupose.ops.heatmap import decode_heatmaps, expand_box_to_aspect
+from tpupose.ops.image import crop_and_resize
+from tpupose.ops.nms import iou_matrix, nms
+
+
+def test_hrnet_tiny_forward_shapes():
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((2, cfg.input_size[0], cfg.input_size[1], 3))
+    heat = jax.jit(lambda p, x: hrnet_apply(p, cfg, x, jnp.float32))(params, x)
+    assert heat.shape == (2, cfg.input_size[0] // 4, cfg.input_size[1] // 4,
+                          cfg.num_joints)
+    assert np.isfinite(np.asarray(heat)).all()
+
+
+def test_hrnet_w48_param_count():
+    # pose_hrnet_w48 has ~63.6M params; the tree should land in that range,
+    # confirming the topology matches the official architecture.
+    cfg = hrnet_w48_config()
+    params = hrnet_init(jax.random.PRNGKey(0), cfg)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 60e6 < n < 68e6, f"param count {n / 1e6:.1f}M"
+
+
+def test_hrnet_torch_roundtrip():
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(1), cfg)
+    sd = tree_to_torch_state_dict(params)
+    # All keys look like torch pose_hrnet names.
+    assert "conv1.weight" in sd
+    assert any(k.startswith("stage2.0.fuse_layers.0.1.") for k in sd)
+    assert any(k.startswith("layer1.0.conv1") for k in sd)
+    back = torch_state_dict_to_tree(sd)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_yolo_tiny_forward_and_decode():
+    cfg = tiny_yolo_test_config()
+    params = yolov3_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
+    heads = jax.jit(lambda p, x: yolov3_apply(p, cfg, x, jnp.float32))(params, x)
+    s = cfg.input_size
+    assert heads[0].shape[1:3] == (s // 32, s // 32)
+    assert heads[1].shape[1:3] == (s // 16, s // 16)
+    assert heads[2].shape[1:3] == (s // 8, s // 8)
+    boxes, scores = decode_detections(cfg, heads)
+    total = 3 * ((s // 32) ** 2 + (s // 16) ** 2 + (s // 8) ** 2)
+    assert boxes.shape == (1, total, 4)
+    assert scores.shape == (1, total)
+    # Box centers must lie inside the input frame.
+    cx = (boxes[..., 0] + boxes[..., 2]) / 2
+    assert float(jnp.min(cx)) >= 0 and float(jnp.max(cx)) <= s
+
+
+def test_yolo_darknet_converter_roundtrip():
+    cfg = tiny_yolo_test_config()
+    specs = cfg.conv_specs
+    cins = conv_in_channels(cfg)
+    rng = np.random.default_rng(0)
+    blobs = []
+    for (cout, k, s, bn), cin in zip(specs, cins):
+        if bn:
+            blobs += [rng.normal(size=cout) for _ in range(4)]
+        else:
+            blobs.append(rng.normal(size=cout))
+        blobs.append(rng.normal(size=cout * cin * k * k))
+    data = np.concatenate([b.ravel() for b in blobs]).astype(np.float32)
+    params = darknet_array_to_params(data, cfg)
+    ref = yolov3_init(jax.random.PRNGKey(0), cfg)
+    # identical tree structure and shapes
+    assert jax.tree.structure(params) == jax.tree.structure(ref)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref)):
+        assert a.shape == b.shape
+    # spot-check the very first BN beta and conv kernel values
+    np.testing.assert_allclose(
+        np.asarray(params["conv0"]["bn"]["bias"]), blobs[0], rtol=1e-6
+    )
+    # forward runs
+    x = jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
+    yolov3_apply(params, cfg, x, jnp.float32)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [0, 0, 0, 0]],
+        jnp.float32,
+    )
+    scores = jnp.array([0.9, 0.8, 0.7, 0.95])
+    valid = jnp.array([True, True, True, False])
+    keep = np.asarray(nms(boxes, scores, valid, 0.4))
+    assert keep.tolist() == [True, False, True, False]
+
+
+def test_iou_matrix_values():
+    a = jnp.array([[0, 0, 10, 10]], jnp.float32)
+    b = jnp.array([[0, 0, 10, 10], [5, 0, 15, 10], [20, 20, 25, 25]], jnp.float32)
+    iou = np.asarray(iou_matrix(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 50 / 150, 0.0], atol=1e-6)
+
+
+def test_detect_people_end_to_end_synthetic():
+    # Plant a synthetic "detection" by constructing head outputs directly:
+    # verify thresholding + NMS + coordinate scaling.
+    cfg = tiny_yolo_test_config()
+    s = cfg.input_size
+    heads = [
+        jnp.full((1, s // 32, s // 32, 3 * (5 + cfg.num_classes)), -10.0),
+        jnp.full((1, s // 16, s // 16, 3 * (5 + cfg.num_classes)), -10.0),
+        jnp.full((1, s // 8, s // 8, 3 * (5 + cfg.num_classes)), -10.0),
+    ]
+    # one strong person at grid cell (1, 1) of the stride-32 head, anchor 0
+    h0 = heads[0].reshape(1, s // 32, s // 32, 3, 5 + cfg.num_classes)
+    h0 = h0.at[0, 1, 1, 0, :].set(
+        jnp.array([0.0, 0.0, 0.0, 0.0, 10.0, 10.0, -10.0])
+    )
+    heads[0] = h0.reshape(1, s // 32, s // 32, -1)
+    boxes, scores = decode_detections(cfg, heads)
+    k = int(jnp.argmax(scores[0]))
+    assert float(scores[0, k]) > 0.99
+    bx = (boxes[0, k, 0] + boxes[0, k, 2]) / 2
+    assert abs(float(bx) - 1.5 * 32) < 1e-3  # sigmoid(0)+cx = 1.5 cells
+
+
+def test_decode_heatmaps_peak_and_refinement():
+    heat = np.zeros((1, 16, 12, 2), np.float32)
+    heat[0, 8, 5, 0] = 1.0
+    heat[0, 8, 6, 0] = 0.5  # right neighbor stronger -> +0.25 px
+    heat[0, 3, 2, 1] = 1.0
+    boxes = jnp.array([[10.0, 20.0, 10 + 24.0, 20 + 32.0]])  # w=24, h=32
+    kp = np.asarray(decode_heatmaps(jnp.asarray(heat), boxes))
+    # joint 0: px=5.25/12*24+10, py=8/16*32+20 (no y gradient)
+    np.testing.assert_allclose(kp[0, 0, 0], 10 + 5.25 / 12 * 24, atol=1e-5)
+    np.testing.assert_allclose(kp[0, 0, 1], 20 + 8.0 / 16 * 32, atol=1e-5)
+    np.testing.assert_allclose(kp[0, 0, 2], 1.0)
+    np.testing.assert_allclose(kp[0, 1, 0], 10 + 2.0 / 12 * 24, atol=1e-5)
+
+
+def test_expand_box_to_aspect():
+    boxes = jnp.array([[0.0, 0.0, 30.0, 20.0]])  # too wide for 4/3
+    out = np.asarray(expand_box_to_aspect(boxes, 4 / 3))[0]
+    w, h = out[2] - out[0], out[3] - out[1]
+    assert np.isclose(h / w, 4 / 3)
+    assert w >= 30 and h >= 20
+    # centered
+    assert np.isclose((out[0] + out[2]) / 2, 15)
+
+
+def test_crop_and_resize_identity():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+    box = jnp.array([[0.0, 0.0, 48.0, 32.0]])
+    out = np.asarray(crop_and_resize(jnp.asarray(img), box, (32, 48)))[0]
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_crop_and_resize_scales():
+    # A constant-gradient image stays a gradient at any crop/zoom.
+    h, w = 40, 40
+    img = np.tile(np.arange(w, dtype=np.float32)[None, :, None], (h, 1, 1))
+    box = jnp.array([[10.0, 10.0, 30.0, 30.0]])
+    out = np.asarray(crop_and_resize(jnp.asarray(img), box, (10, 10)))[0, :, :, 0]
+    diffs = np.diff(out, axis=1)
+    assert np.allclose(diffs, diffs[0, 0], atol=1e-4)
+    assert 10 <= out[0, 0] <= 12
+
+
+def test_normalize_image():
+    x = jnp.full((2, 2, 3), 255.0)
+    out = np.asarray(normalize_image(x))
+    expected = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array(
+        [0.229, 0.224, 0.225]
+    )
+    np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5)

@@ -1,0 +1,106 @@
+"""Minimal NHWC conv-net primitives with torch-compatible parameter layout.
+
+The neural backends are re-built in JAX rather than wrapped from PyTorch
+(the reference consumes external CUDA models, `src/backend/` — SURVEY.md §2).
+Parameters live in plain nested dicts whose leaf names mirror torch
+state_dict conventions (`weight`, `bias`, `running_mean`, `running_var`), so
+checkpoint conversion is a mechanical key walk + OIHW->HWIO transpose.
+
+Layout: activations NHWC (TPU-native), conv kernels HWIO. Matmul-heavy ops
+default to bfloat16-friendly precision (the XLA default); geometry-grade
+precision is not needed inside the CNNs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv_init(key, kh, kw, cin, cout, bias=False, scale=None):
+    """He-normal conv parameters."""
+    wkey, _ = jax.random.split(key)
+    fan_in = kh * kw * cin
+    std = scale if scale is not None else np.sqrt(2.0 / fan_in)
+    p = {"weight": jax.random.normal(wkey, (kh, kw, cin, cout), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
+    """Conv with torch-compatible padding semantics.
+
+    padding="TORCH" pads symmetrically by k//2 per side (torch Conv2d
+    padding=k//2). This matters at stride 2: XLA's "SAME" pads (0, 1)
+    asymmetrically there, which would silently diverge from converted torch
+    checkpoints.
+    """
+    s = (stride, stride) if isinstance(stride, int) else stride
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if padding == "TORCH":
+        kh, kw = p["weight"].shape[0], p["weight"].shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=s,
+        padding=padding,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def bn_init(c):
+    return {
+        "weight": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "running_mean": jnp.zeros((c,), jnp.float32),
+        "running_var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def bn_apply(p, x, eps=1e-5):
+    """Inference-mode batch norm (frozen statistics).
+
+    Training runs in this framework fine-tune with frozen BN (standard for
+    pose backbones); gradients flow through the affine parameters.
+    """
+    inv = jax.lax.rsqrt(p["running_var"] + eps) * p["weight"]
+    return x * inv.astype(x.dtype) + (p["bias"] - p["running_mean"] * inv).astype(
+        x.dtype
+    )
+
+
+def conv_bn_init(key, kh, kw, cin, cout):
+    return {"conv": conv_init(key, kh, kw, cin, cout), "bn": bn_init(cout)}
+
+
+def conv_bn_apply(p, x, stride=1, padding="TORCH", relu=True):
+    y = bn_apply(p["bn"], conv_apply(p["conv"], x, stride=stride, padding=padding))
+    return jax.nn.relu(y) if relu else y
+
+
+def max_pool(x, window=2, stride=2):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "SAME",
+    )
+
+
+def upsample_nearest(x, factor):
+    """Nearest-neighbor upsample by an integer factor (torch Upsample)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+def leaky_relu(x, slope=0.1):
+    return jax.nn.leaky_relu(x, negative_slope=slope)

@@ -1,0 +1,74 @@
+"""Heatmap -> keypoint decoding (top-down pose head).
+
+Replaces the torch argmax decode inside the reference's external
+`HRNetPose.predict` (`src/ivclabpose.py:208-214`): per-joint argmax over the
+(H/4, W/4) heatmap, optional quarter-pixel refinement toward the stronger
+neighbor (official HRNet inference trick), then mapping back to full-image
+coordinates through the crop box. Fully vectorized over (batch, joints) — no
+host round-trip per person.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def decode_heatmaps(heat, boxes, refine=True):
+    """Decode keypoints from heatmaps.
+
+    Args:
+      heat: (N, Hh, Wh, J) heatmaps.
+      boxes: (N, 4) crop boxes (x0, y0, x1, y1) in image coordinates — the
+        region each heatmap corresponds to.
+      refine: quarter-offset sub-pixel refinement.
+
+    Returns:
+      (N, J, 3) keypoints (x_img, y_img, score).
+    """
+    n, hh, wh, j = heat.shape
+    flat = heat.reshape(n, hh * wh, j)
+    idx = jnp.argmax(flat, axis=1)  # (N, J)
+    score = jnp.max(flat, axis=1)
+    py = (idx // wh).astype(jnp.float32)
+    px = (idx % wh).astype(jnp.float32)
+
+    if refine:
+        xi = jnp.clip(idx % wh, 1, wh - 2)
+        yi = jnp.clip(idx // wh, 1, hh - 2)
+        bidx = jnp.arange(n)[:, None]
+        jidx = jnp.arange(j)[None, :]
+        right = heat[bidx, yi, xi + 1, jidx]
+        left = heat[bidx, yi, xi - 1, jidx]
+        up = heat[bidx, yi + 1, xi, jidx]
+        down = heat[bidx, yi - 1, xi, jidx]
+        # Official HRNet refines only when the peak is strictly interior.
+        in_x = ((idx % wh) >= 1) & ((idx % wh) < wh - 1)
+        in_y = ((idx // wh) >= 1) & ((idx // wh) < hh - 1)
+        px = px + jnp.where(in_x, 0.25 * jnp.sign(right - left), 0.0)
+        py = py + jnp.where(in_y, 0.25 * jnp.sign(up - down), 0.0)
+
+    x0, y0 = boxes[:, 0:1], boxes[:, 1:2]
+    bw = boxes[:, 2:3] - boxes[:, 0:1]
+    bh = boxes[:, 3:4] - boxes[:, 1:2]
+    x_img = x0 + px / wh * bw
+    y_img = y0 + py / hh * bh
+    return jnp.stack([x_img, y_img, score], axis=-1)
+
+
+def expand_box_to_aspect(boxes, aspect_h_over_w):
+    """Grow boxes (centered) to the model aspect ratio (h/w).
+
+    The reference's top-down backend fits each detection crop to the HRNet
+    input ratio (384/288 = 4/3) before resizing; growing (never shrinking)
+    keeps the whole person visible.
+    """
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    w = x1 - x0
+    h = y1 - y0
+    cx = (x0 + x1) / 2
+    cy = (y0 + y1) / 2
+    target_h = jnp.maximum(h, w * aspect_h_over_w)
+    target_w = target_h / aspect_h_over_w
+    return jnp.stack(
+        [cx - target_w / 2, cy - target_h / 2, cx + target_w / 2, cy + target_h / 2],
+        axis=1,
+    )

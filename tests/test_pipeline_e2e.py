@@ -1,0 +1,78 @@
+"""End-to-end pipeline tests on synthetic scenes (SURVEY.md §4): replay-mode
+detections -> jitted tracker -> artifacts -> PCP ~ 100 at low noise, plus a
+full random-weight model pipeline smoke test."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpupose.data.synthetic import make_scene
+from tpupose.eval import coco2shelf3d, evaluate_pcp, write_3d_result
+from tpupose.eval.pcp import evaluate_pcp_from_pickle  # noqa: F401  (import check)
+from tpupose.geometry import make_camera_set
+from tpupose.models.hrnet import hrnet_init, tiny_test_config
+from tpupose.models.yolov3 import tiny_yolo_test_config, yolov3_init
+from tpupose.pipeline.facade import Pipeline
+from tpupose.tracking.tracker import TrackerConfig
+
+
+def test_replay_pipeline_pcp_near_perfect(tmp_path):
+    scene = make_scene(num_frames=40, num_cameras=5, num_actors=3,
+                       noise_px=1.0, drop_prob=0.1, seed=7)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    tcfg = TrackerConfig(num_cameras=scene.num_cameras)
+    pipe = Pipeline(cams=rig, tracker_cfg=tcfg)
+
+    multi_poses3d = {}
+    all_annotations = []
+    for t in range(scene.num_frames):
+        dets = np.zeros((scene.num_cameras, tcfg.max_dets, 17, 3), np.float32)
+        mask = np.zeros((scene.num_cameras, tcfg.max_dets), bool)
+        for c, d in enumerate(scene.detections_list(t)):
+            dets[c, :len(d)] = d
+            mask[c, :len(d)] = True
+        out = pipe.person_track(t, jnp.asarray(dets), jnp.asarray(mask))
+        pts3d, ids, anns = pipe.harvest(out, t)
+        multi_poses3d[t] = pts3d
+        all_annotations.extend(anns)
+
+    # Artifacts round-trip like the reference's pkl.
+    pkl = str(tmp_path / "preds.pkl")
+    write_3d_result(multi_poses3d, pkl)
+
+    # GT in shelf-14 format via the same converter (format-consistent).
+    actors_gt = [
+        [coco2shelf3d(scene.gt3d[t, a].T) for t in range(scene.num_frames)]
+        for a in range(scene.num_actors)
+    ]
+    res = evaluate_pcp([[5, scene.num_frames]], multi_poses3d, actors_gt)
+    assert res["average"] > 0.99, res["table"]
+    assert len(all_annotations) > 0
+
+
+def test_full_model_pipeline_smoke():
+    # Random weights: garbage detections, but the fused frame program must
+    # compile and run end-to-end with stable shapes.
+    scene = make_scene(num_frames=2, num_cameras=3, num_actors=2, seed=0)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    tcfg = TrackerConfig(num_cameras=3, max_dets=8)
+    pipe = Pipeline(
+        cams=rig,
+        tracker_cfg=tcfg,
+        det_cfg=det_cfg,
+        det_params=yolov3_init(jax.random.PRNGKey(0), det_cfg),
+        pose_cfg=pose_cfg,
+        pose_params=hrnet_init(jax.random.PRNGKey(1), pose_cfg),
+    )
+    images = np.zeros((3, 120, 160, 3), np.uint8)
+    for t in range(2):
+        out, dets, mask = pipe.process_frame(t, images)
+        assert dets.shape == (3, tcfg.max_dets, 17, 3)
+        assert np.asarray(out.pose3d).shape == (tcfg.max_tracks, 17, 3)
+
+    # Staged API also works.
+    boxes, scores, valid = pipe.person_detect(images)
+    assert boxes.shape[0] == 3
+    kps, m = pipe.person_pose_detect(images, boxes, valid)
+    assert kps.shape[2:] == (17, 3)

@@ -1,0 +1,209 @@
+"""End-to-end pipeline facade: detect -> crop -> 2D pose -> 3D track.
+
+TPU-native equivalent of the reference's `ivclabpose` class
+(`src/ivclabpose.py:100-287`). Key differences by design:
+  * the whole per-frame compute (YOLO forward, crop+resize, HRNet forward,
+    heatmap decode, tracker step) is ONE jitted XLA program — no host
+    round-trips between stages;
+  * crops from all cameras form a single HRNet batch (the reference batches
+    crops per camera on GPU with batch_size=20);
+  * detections use (x, y, score); no (y, x) flipping anywhere.
+
+Backends are pluggable: real YOLO/HRNet params, or `replay` mode that feeds
+externally-provided 2D detections straight into the tracker (the fake-backend
+strategy from SURVEY.md §4 — also how cached detections are re-scored).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.geometry import CameraSet, make_camera_set
+from tpupose.models.hrnet import HRNetConfig, hrnet_apply, normalize_image
+from tpupose.models.yolov3 import YoloConfig, detect_people
+from tpupose.ops.heatmap import decode_heatmaps, expand_box_to_aspect
+from tpupose.ops.image import crop_and_resize, resize_bilinear
+from tpupose.tracking.tracker import (
+    FrameOutput,
+    TrackerConfig,
+    TrackerState,
+    init_state,
+    tracker_step,
+)
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """Holds camera rig, model params, tracker config/state and the compiled
+    frame functions."""
+
+    cams: CameraSet
+    tracker_cfg: TrackerConfig
+    det_cfg: Optional[YoloConfig] = None
+    det_params: Optional[dict] = None
+    pose_cfg: Optional[HRNetConfig] = None
+    pose_params: Optional[dict] = None
+    state: Optional[TrackerState] = None
+
+    def __post_init__(self):
+        if self.state is None:
+            self.state = init_state(self.tracker_cfg)
+        self._frame_fn = None
+        self._replay_fn = None
+        self._detect_fn = None
+        self._pose_fn = None
+
+    # -- construction helpers -------------------------------------------------
+
+    @staticmethod
+    def camera_set_from_parameter_dict(camera_parameter, width, height,
+                                       num_cameras=None) -> CameraSet:
+        """Reference `GetCameraParameters` (`src/ivclabpose.py:162-181`)."""
+        P = np.asarray(camera_parameter["P"], np.float32)
+        K = np.asarray(camera_parameter["K"], np.float32)
+        RT = np.asarray(camera_parameter["RT"], np.float32)
+        if num_cameras is not None:
+            P, K, RT = P[:num_cameras], K[:num_cameras], RT[:num_cameras]
+        return make_camera_set(P, K, RT, width, height)
+
+    def track_restart(self):
+        self.state = init_state(self.tracker_cfg)
+
+    # -- staged API (mirrors PersonDetect / PersonPoseDetect /
+    #    PersonTrack_Project3DPose) -------------------------------------------
+
+    def person_detect(self, images):
+        """images: (C, H, W, 3) uint8/float RGB -> (boxes, scores, valid)."""
+        if self._detect_fn is None:
+            det_cfg = self.det_cfg
+
+            @jax.jit
+            def fn(params, images):
+                x = images.astype(jnp.float32) / 255.0
+                s = det_cfg.input_size
+                x = resize_bilinear(x, (s, s))
+                return detect_people(
+                    params, det_cfg, x, (images.shape[1], images.shape[2])
+                )
+
+            self._detect_fn = fn
+        return self._detect_fn(self.det_params, jnp.asarray(images))
+
+    def person_pose_detect(self, images, boxes, box_valid):
+        """Top-down 2D pose on detection crops, batched across all cameras.
+
+        Returns (C, K, J, 3) keypoints (x, y, score) and a (C, K) mask.
+        """
+        if self._pose_fn is None:
+            pose_cfg = self.pose_cfg
+            in_h, in_w = pose_cfg.input_size
+
+            @jax.jit
+            def fn(params, images, boxes):
+                c, k = boxes.shape[0], boxes.shape[1]
+                aspect = in_h / in_w
+                eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), aspect)
+                crops = jax.vmap(
+                    lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
+                )(images.astype(jnp.float32), eboxes.reshape(c, k, 4))
+                crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
+                heat = hrnet_apply(params, pose_cfg, crops)
+                kps = decode_heatmaps(heat, eboxes)
+                return kps.reshape(c, k, pose_cfg.num_joints, 3)
+
+            self._pose_fn = fn
+        kps = self._pose_fn(self.pose_params, jnp.asarray(images), boxes)
+        return kps, box_valid
+
+    def person_track(self, frame_id, detections, det_mask):
+        """One tracker step; returns FrameOutput (updates self.state)."""
+        if self._replay_fn is None:
+            self._replay_fn = jax.jit(
+                partial(tracker_step, self.tracker_cfg)
+            )
+        self.state, out = self._replay_fn(
+            self.cams, self.state, detections, det_mask, jnp.int32(frame_id)
+        )
+        return out
+
+    # -- fused per-frame program ----------------------------------------------
+
+    def process_frame(self, frame_id, images):
+        """Full detect+pose+track for one multi-view frame as one jitted call.
+
+        Args:
+          images: (C, H, W, 3) uint8 RGB.
+        Returns:
+          (FrameOutput, detections, det_mask)
+        """
+        if self._frame_fn is None:
+            det_cfg, pose_cfg, tcfg = self.det_cfg, self.pose_cfg, self.tracker_cfg
+            in_h, in_w = pose_cfg.input_size
+
+            @jax.jit
+            def fn(det_params, pose_params, cams, state, images, frame_id):
+                x = images.astype(jnp.float32) / 255.0
+                s = det_cfg.input_size
+                ximg = resize_bilinear(x, (s, s))
+                boxes, scores, valid = detect_people(
+                    det_params, det_cfg, ximg, (images.shape[1], images.shape[2])
+                )
+                c, k = boxes.shape[0], boxes.shape[1]
+                eboxes = expand_box_to_aspect(
+                    boxes.reshape(-1, 4), in_h / in_w
+                ).reshape(c, k, 4)
+                crops = jax.vmap(
+                    lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
+                )(x * 255.0, eboxes)
+                crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
+                heat = hrnet_apply(pose_params, pose_cfg, crops)
+                kps = decode_heatmaps(heat, eboxes.reshape(-1, 4))
+                kps = kps.reshape(c, k, pose_cfg.num_joints, 3)
+                # pad/trim detections to the tracker's MAX_DETS
+                d = tcfg.max_dets
+                if k >= d:
+                    dets, mask = kps[:, :d], valid[:, :d]
+                else:
+                    dets = jnp.zeros((c, d, tcfg.num_joints, 3)).at[:, :k].set(kps)
+                    mask = jnp.zeros((c, d), bool).at[:, :k].set(valid)
+                new_state, out = tracker_step(tcfg, cams, state, dets, mask, frame_id)
+                return new_state, out, dets, mask
+
+            self._frame_fn = fn
+        self.state, out, dets, mask = self._frame_fn(
+            self.det_params, self.pose_params, self.cams, self.state,
+            jnp.asarray(images), jnp.int32(frame_id),
+        )
+        return out, dets, mask
+
+    # -- output harvesting -----------------------------------------------------
+
+    def harvest(self, out: FrameOutput, frame_id, timestamp=None):
+        """Convert FrameOutput into the reference's artifact structures:
+        per-frame (N, 3, 17) pose array + per-camera 2D annotations
+        (`src/ivclabpose.py:259-287`, `src/evalmodel.py:83-86`)."""
+        valid = np.asarray(out.valid)
+        ids = np.asarray(out.track_id)[valid]
+        poses3d = np.asarray(out.pose3d)[valid]
+        pts3d = [np.transpose(p) for p in poses3d]  # stored (3, 17) like ref
+        annotations = []
+        pose2d = np.asarray(out.pose2d)[valid]
+        now = np.asarray(out.pose2d_now)[valid]
+        for i, tid in enumerate(ids):
+            for cid in range(pose2d.shape[1]):
+                if now[i, cid]:
+                    annotations.append(
+                        {
+                            "timestamp": timestamp if timestamp is not None else frame_id,
+                            "cid": cid,
+                            "pid": int(tid),
+                            "pose": pose2d[i, cid, :, :2],
+                            "scores": pose2d[i, cid, :, 2],
+                        }
+                    )
+        return np.asarray(pts3d), ids, annotations

@@ -1,0 +1,62 @@
+"""Stage timing helpers (device-aware).
+
+Mirrors the reference's per-stage s/frame + fps report
+(`src/testmodel.py:92-99`) but with `jax.block_until_ready` so device work is
+actually measured, plus an optional jax.profiler trace context.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+class StageTimer:
+    def __init__(self):
+        self.totals = {}
+        self.counts = {}
+
+    @contextlib.contextmanager
+    def time(self, stage: str, block_on=None):
+        start = time.perf_counter()
+        yield
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        self.totals[stage] = self.totals.get(stage, 0.0) + time.perf_counter() - start
+        self.counts[stage] = self.counts.get(stage, 0) + 1
+
+    def add(self, stage: str, seconds: float):
+        self.totals[stage] = self.totals.get(stage, 0.0) + seconds
+        self.counts[stage] = self.counts.get(stage, 0) + 1
+
+    def per_frame(self, stage: str):
+        c = self.counts.get(stage, 0)
+        return self.totals.get(stage, 0.0) / c if c else 0.0
+
+    def report(self, num_views: int = 1):
+        """Reference-format report (`src/testmodel.py:92-99`)."""
+        det = self.per_frame("person_detect")
+        pose = self.per_frame("pose_detect")
+        track = self.per_frame("track")
+        lines = [
+            f"Person Detect Processing time (s/f): {det:f}",
+            f"Pose Detect Processing time (s/f): {pose:f}",
+            f"Track Processing time (s/f): {track:f}",
+        ]
+        denom = (det + pose) / max(num_views, 1) + track
+        if denom > 0:
+            lines.append(f"fps: {1.0 / denom:f}")
+        if track > 0:
+            lines.append(f"tracking fps: {1.0 / track:f}")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str | None):
+    """Optional XLA profiler trace (view with TensorBoard)."""
+    if logdir:
+        with jax.profiler.trace(logdir):
+            yield
+    else:
+        yield

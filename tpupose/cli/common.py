@@ -1,0 +1,118 @@
+"""Shared CLI plumbing for testmodel / evalmodel.
+
+Builds a Pipeline from a reference-format YAML config (same `--dataset`
+selection as `src/testmodel.py:101-107` / `src/evalmodel.py:379-386`) and
+runs the per-frame loop. Supports three backend modes:
+  * real:      converted YOLO/HRNet checkpoints (paths from the YAML)
+  * replay:    2D detections loaded from a pickle (re-scoring w/o models)
+  * synthetic: the built-in synthetic scene (no dataset or weights needed)
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpupose.data.config import Config, load_config, tracker_config_from
+from tpupose.data.dataset import load_filenames, load_images
+from tpupose.pipeline.facade import Pipeline
+from tpupose.utils.timing import StageTimer
+
+
+def build_pipeline_real(cfg: Config, camera_parameter, width, height):
+    from tpupose.models.convert import load_darknet_weights, load_hrnet_torch_checkpoint
+    from tpupose.models.hrnet import HRNetConfig
+    from tpupose.models.yolov3 import YoloConfig
+
+    cams = Pipeline.camera_set_from_parameter_dict(
+        camera_parameter, width, height, num_cameras=len(cfg.dataset.folders_order)
+    )
+    tcfg = tracker_config_from(cfg, num_cameras=cams.num_cameras)
+    det_cfg = YoloConfig(
+        score_thresh=cfg.detect_model.score_thresh,
+        nms_thresh=cfg.detect_model.nms_thresh,
+    )
+    det_params, _ = load_darknet_weights(cfg.detect_model.weight, det_cfg)
+    pose_cfg = HRNetConfig(
+        width=cfg.pose_model.c,
+        num_joints=cfg.pose_model.num_joints,
+        input_size=tuple(cfg.pose_model.resolution),
+    )
+    pose_params = load_hrnet_torch_checkpoint(cfg.pose_model.checkpoint_file)
+    return Pipeline(
+        cams=cams, tracker_cfg=tcfg, det_cfg=det_cfg, det_params=det_params,
+        pose_cfg=pose_cfg, pose_params=pose_params,
+    )
+
+
+def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer):
+    """Per-frame loop accumulating 3D predictions and 2D annotations.
+
+    frame_source yields (frame_id, timestamp, images|None, dets|None, mask|None).
+    """
+    multi_poses3d = {}
+    annotations = []
+    is_panoptic = cfg.dataset.test_dataset == "Panoptic"
+    for frame_id, timestamp, images, dets, mask in frame_source:
+        if images is not None:
+            with timer.time("track"):
+                out, dets, mask = pipe.process_frame(frame_id, images)
+        else:
+            with timer.time("track", block_on=pipe.state.active):
+                out = pipe.person_track(frame_id, jnp.asarray(dets), jnp.asarray(mask))
+        pts3d, ids, anns = pipe.harvest(
+            out, frame_id, timestamp if is_panoptic else None
+        )
+        key = timestamp if is_panoptic else frame_id
+        multi_poses3d[key] = pts3d
+        annotations.extend(anns)
+    return multi_poses3d, annotations
+
+
+def dataset_frame_source(cfg: Config):
+    datas = load_filenames(cfg.dataset)
+    start, end = cfg.dataset.test_range
+    for frame_id in range(start, end):
+        images, timestamp = load_images(cfg.dataset.test_dataset, datas[frame_id])
+        yield frame_id, timestamp, np.stack(images), None, None
+
+
+def synthetic_frame_source(num_frames=60, num_cameras=5, num_actors=3,
+                           max_dets=16, noise_px=1.0, drop_prob=0.1, seed=0):
+    """Frames from the built-in synthetic scene, replay-mode (no NN)."""
+    from tpupose.data.synthetic import make_scene
+
+    scene = make_scene(
+        num_frames=num_frames, num_cameras=num_cameras, num_actors=num_actors,
+        noise_px=noise_px, drop_prob=drop_prob, seed=seed,
+    )
+
+    def gen():
+        for t in range(scene.num_frames):
+            dets = np.zeros((num_cameras, max_dets, 17, 3), np.float32)
+            mask = np.zeros((num_cameras, max_dets), bool)
+            for c, d in enumerate(scene.detections_list(t)):
+                dets[c, : len(d)] = d
+                mask[c, : len(d)] = True
+            yield t, t, None, dets, mask
+
+    return scene, gen()
+
+
+def result_path(cfg: Config):
+    store_dir = os.path.join(cfg.output, cfg.dataset.test_dataset, "logs")
+    name = "{}_{}_{}_{}.pkl".format(
+        cfg.pipeline.detect_model,
+        cfg.pipeline.pose_model,
+        cfg.pipeline.person_matcher,
+        cfg.dataset.root.rstrip("/").split("/")[-1],
+    )
+    return os.path.join(store_dir, name)
+
+
+def load_camera_parameter(cfg: Config):
+    path = os.path.join(cfg.dataset.root, cfg.dataset.calibration_file)
+    with open(path, "rb") as f:
+        return pickle.load(f)

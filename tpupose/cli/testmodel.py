@@ -1,0 +1,100 @@
+"""Demo/timing entry point (reference `src/testmodel.py` equivalent).
+
+    python -m tpupose.cli.testmodel --dataset CampusSeq1
+    python -m tpupose.cli.testmodel --synthetic
+
+Runs the per-frame loop, optionally writes 2D-skeleton overlay images, and
+prints the reference-format timing report (detect s/f, pose s/f, track s/f,
+fps, tracking fps — `src/testmodel.py:92-99`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from tpupose.cli.common import (
+    build_pipeline_real,
+    dataset_frame_source,
+    load_camera_parameter,
+    synthetic_frame_source,
+)
+from tpupose.data.config import load_config
+from tpupose.utils.timing import StageTimer
+from tpupose.utils.viz import draw_skeleton_overlay
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="CampusSeq1")
+    parser.add_argument("--config-dir", type=str, default="configs")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--save-images", action="store_true")
+    args = parser.parse_args(argv)
+
+    timer = StageTimer()
+    if args.synthetic:
+        _run_synthetic(args, timer)
+        return
+
+    cfg = load_config(
+        os.path.join(args.config_dir, args.dataset, "model_configs.yaml")
+    )
+    camera_parameter = load_camera_parameter(cfg)
+    source = dataset_frame_source(cfg)
+    first = next(source)
+    images0 = first[2]
+    pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2], images0.shape[1])
+    out_dir = os.path.join(cfg.output, cfg.dataset.test_dataset, "Images")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def frames():
+        yield first
+        yield from source
+
+    n = 0
+    for frame_id, timestamp, images, _, _ in frames():
+        with timer.time("track"):
+            out, dets, mask = pipe.process_frame(frame_id, images)
+        n += 1
+        if args.save_images and cfg.save_image:
+            _, ids, anns = pipe.harvest(out, frame_id, timestamp)
+            vis = {c: images[c].copy() for c in range(images.shape[0])}
+            for ann in anns:
+                vis[ann["cid"]] = draw_skeleton_overlay(
+                    vis[ann["cid"]], ann["pose"], ann["scores"], ann["pid"]
+                )
+            from PIL import Image
+
+            for c, img in vis.items():
+                Image.fromarray(img).save(
+                    os.path.join(out_dir, f"{timestamp}_cam{c}.jpg")
+                )
+    print(f"processed {n} frames")
+    print(timer.report(num_views=len(cfg.dataset.folders_order)))
+
+
+def _run_synthetic(args, timer):
+    from tpupose.geometry import make_camera_set
+    from tpupose.pipeline.facade import Pipeline
+    from tpupose.tracking.tracker import TrackerConfig
+    import jax.numpy as jnp
+
+    scene, source = synthetic_frame_source(num_frames=args.frames)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    tcfg = TrackerConfig(num_cameras=scene.num_cameras)
+    pipe = Pipeline(cams=rig, tracker_cfg=tcfg)
+    n_out = 0
+    for frame_id, _, _, dets, mask in source:
+        with timer.time("track", block_on=None):
+            out = pipe.person_track(frame_id, jnp.asarray(dets), jnp.asarray(mask))
+        n_out += int(np.asarray(out.valid).sum())
+    print(f"confirmed track-frames: {n_out}")
+    print(timer.report(num_views=scene.num_cameras))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,4 +12,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (real TPU tunnel);
+# tests must run on the virtual 8-device CPU backend, so override via config
+# (env vars alone are ignored once the axon plugin registers).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

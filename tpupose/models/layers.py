@@ -68,10 +68,93 @@ def bn_apply(p, x, eps=1e-5):
 
     Training runs in this framework fine-tune with frozen BN (standard for
     pose backbones); gradients flow through the affine parameters.
+
+    An empty dict means the BN was folded into the preceding conv by
+    `fold_batchnorm` — pass through.
     """
+    if not p:
+        return x
     inv = jax.lax.rsqrt(p["running_var"] + eps) * p["weight"]
     return x * inv.astype(x.dtype) + (p["bias"] - p["running_mean"] * inv).astype(
         x.dtype
+    )
+
+
+def fold_batchnorm(params, eps=1e-5, dtype=None):
+    """Fold every (conv, bn) pair into the conv weights for inference.
+
+    Walks the param tree; wherever a dict holds both a conv (4D 'weight')
+    and a sibling BN dict that normalizes its output, the BN's affine form
+    y = (conv(x) - mean) * gamma/sqrt(var+eps) + beta
+    is absorbed: w' = w * s (per output channel), b' = beta - mean * s
+    (+ b * s if the conv had a bias). BN dicts become empty (bn_apply
+    passes through). Exact for frozen statistics; removes ~2 elementwise
+    passes per conv and halves param traffic when dtype=bfloat16.
+
+    Pairing rule (matches this codebase's torch-shaped trees):
+      * siblings named convN / bnN            (HRNet blocks, stem)
+      * siblings named '0' (conv) / '1' (bn)  (transitions, fuse layers,
+                                               downsample)
+      * siblings named 'conv' / 'bn'          (YOLO conv modules)
+    """
+    import numpy as np
+
+    def is_conv(d):
+        return isinstance(d, dict) and "weight" in d and getattr(
+            d["weight"], "ndim", 0
+        ) == 4
+
+    def is_bn(d):
+        return isinstance(d, dict) and "running_mean" in d
+
+    def fold_pair(conv, bn):
+        s = np.asarray(bn["weight"]) / np.sqrt(np.asarray(bn["running_var"]) + eps)
+        b = np.asarray(bn["bias"]) - np.asarray(bn["running_mean"]) * s
+        w = np.asarray(conv["weight"]) * s[None, None, None, :]
+        if "bias" in conv:
+            b = b + np.asarray(conv["bias"]) * s
+        out = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+        return out
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: walk(v) for k, v in node.items()}
+        keys = list(node.keys())
+        for k in keys:
+            if not is_conv(node[k]):
+                continue
+            partner = None
+            if k.startswith("conv") and ("bn" + k[4:]) in node and is_bn(
+                node.get("bn" + k[4:])
+            ):
+                partner = "bn" + k[4:]
+            elif k == "conv" and is_bn(node.get("bn")):
+                partner = "bn"
+            else:
+                try:
+                    nxt = str(int(k) + 1)
+                except ValueError:
+                    nxt = None
+                if nxt is not None and is_bn(node.get(nxt)):
+                    partner = nxt
+            if partner is not None:
+                node[k] = fold_pair(node[k], node[partner])
+                node[partner] = {}
+        return node
+
+    folded = walk(params)
+    if dtype is not None:
+        folded = cast_params(folded, dtype)
+    return folded
+
+
+def cast_params(params, dtype):
+    """Cast all float param leaves (useful: bfloat16 inference weights, so
+    per-call weight casts/relayouts disappear)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
     )
 
 

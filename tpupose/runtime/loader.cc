@@ -1,0 +1,197 @@
+// Threaded JPEG frame loader with a prefetch ring.
+//
+// Native data-loading runtime for the streaming pipeline: the reference
+// blocks the GPU on sequential cv2.imread calls per view
+// (`src/dataset.py:36-45`); here worker threads decode frames ahead into a
+// bounded ring so host decode overlaps device compute. C ABI for ctypes.
+#include <cstdio>  // jpeglib.h needs FILE declared first
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+// Decode one JPEG file to RGB. Returns false on failure.
+bool decode_jpeg(const std::string& path, std::vector<uint8_t>* out,
+                 int* width, int* height) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  out->resize(static_cast<size_t>(*width) * *height * 3);
+  const int stride = *width * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+struct Frame {
+  int64_t index = -1;
+  int width = 0, height = 0;
+  bool ok = false;
+  std::vector<uint8_t> data;  // concatenated views, each w*h*3
+};
+
+struct Loader {
+  std::vector<std::vector<std::string>> frames;  // [frame][view] paths
+  size_t prefetch = 4;
+  int num_threads = 2;
+
+  std::mutex mu;
+  std::condition_variable cv_produce, cv_consume;
+  std::queue<Frame> ready;       // decoded frames, emitted in index order
+  std::atomic<int64_t> next_to_decode{0};
+  int64_t next_to_emit = 0;      // next index to move stash -> ready
+  int64_t consumed = 0;          // frames handed to the caller
+  std::vector<Frame> stash;      // out-of-order completions
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  void worker() {
+    for (;;) {
+      const int64_t idx = next_to_decode.fetch_add(1);
+      if (idx >= static_cast<int64_t>(frames.size())) return;
+      {
+        // Credit window: decode at most `prefetch` frames ahead of the
+        // consumer (bounds memory; stash size is bounded by the window).
+        std::unique_lock<std::mutex> lock(mu);
+        cv_produce.wait(lock, [&] {
+          return stop.load() ||
+                 idx < consumed + static_cast<int64_t>(prefetch);
+        });
+        if (stop.load()) return;
+      }
+      Frame fr;
+      fr.index = idx;
+      fr.ok = true;
+      for (const auto& path : frames[idx]) {
+        std::vector<uint8_t> img;
+        int w = 0, h = 0;
+        if (!decode_jpeg(path, &img, &w, &h)) {
+          fr.ok = false;
+          break;
+        }
+        fr.width = w;
+        fr.height = h;
+        fr.data.insert(fr.data.end(), img.begin(), img.end());
+      }
+      std::unique_lock<std::mutex> lock(mu);
+      stash.push_back(std::move(fr));
+      // Promote in-order frames from the stash to the ready queue.
+      bool moved = true;
+      while (moved) {
+        moved = false;
+        for (size_t i = 0; i < stash.size(); ++i) {
+          if (stash[i].index == next_to_emit) {
+            ready.push(std::move(stash[i]));
+            stash.erase(stash.begin() + i);
+            ++next_to_emit;
+            moved = true;
+            break;
+          }
+        }
+      }
+      cv_consume.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// paths: flat array of n_frames * n_views C strings.
+void* tpupose_loader_create(const char** paths, int64_t n_frames,
+                            int32_t n_views, int32_t prefetch,
+                            int32_t n_threads) {
+  auto* l = new Loader();
+  l->frames.resize(n_frames);
+  for (int64_t i = 0; i < n_frames; ++i) {
+    for (int32_t v = 0; v < n_views; ++v) {
+      l->frames[i].emplace_back(paths[i * n_views + v]);
+    }
+  }
+  l->prefetch = prefetch > 0 ? prefetch : 4;
+  l->num_threads = n_threads > 0 ? n_threads : 2;
+  for (int t = 0; t < l->num_threads; ++t) {
+    l->workers.emplace_back([l] { l->worker(); });
+  }
+  return l;
+}
+
+// Copies the next decoded frame (all views) into out (size n_views*h*w*3).
+// Returns 1 on success, 0 at end of stream, -1 on decode error.
+int32_t tpupose_loader_next(void* handle, uint8_t* out, int64_t out_size,
+                            int32_t* width, int32_t* height) {
+  auto* l = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lock(l->mu);
+  if (l->consumed >= static_cast<int64_t>(l->frames.size())) {
+    return 0;  // end of stream
+  }
+  l->cv_consume.wait(lock, [&] { return !l->ready.empty(); });
+  Frame fr = std::move(l->ready.front());
+  l->ready.pop();
+  ++l->consumed;
+  l->cv_produce.notify_all();
+  lock.unlock();
+  if (!fr.ok) return -1;
+  if (static_cast<int64_t>(fr.data.size()) > out_size) return -1;
+  std::memcpy(out, fr.data.data(), fr.data.size());
+  *width = fr.width;
+  *height = fr.height;
+  return 1;
+}
+
+int64_t tpupose_loader_total(void* handle) {
+  return static_cast<Loader*>(handle)->frames.size();
+}
+
+void tpupose_loader_destroy(void* handle) {
+  auto* l = static_cast<Loader*>(handle);
+  l->stop.store(true);
+  l->cv_produce.notify_all();
+  for (auto& t : l->workers) t.join();
+  delete l;
+}
+
+}  // extern "C"

@@ -142,7 +142,6 @@ def _associate(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
     unmatched (C, D) bool)."""
     tracks_pose, last_time = _last_hist(state)
     dt = jnp.where(state.active, frame_id - last_time, 1).astype(jnp.float32)
-    N = max(cfg.max_tracks, cfg.max_dets)
 
     def per_cam(P_c, dets_c, mask_c):
         reproj = project_points(P_c, tracks_pose)  # (T, J, 2)
@@ -155,11 +154,7 @@ def _associate(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
         aff = jnp.sum(jnp.where(pos, scores, 0.0), axis=-1) / jnp.maximum(npos, 1)
         aff = jnp.where(npos > cfg.joint_gate, aff, 0.0)
         aff = aff / jnp.exp(cfg.lambda_a * dt[:, None])
-        pad = jnp.zeros((N, N), jnp.float32)
-        pad = pad.at[: cfg.max_tracks, : cfg.max_dets].set(aff)
-        rv = jnp.zeros(N, bool).at[: cfg.max_tracks].set(state.active)
-        cv = jnp.zeros(N, bool).at[: cfg.max_dets].set(mask_c)
-        col = masked_lap(pad, rv, cv, maximize=True)[: cfg.max_tracks]
+        col = masked_lap(aff, state.active, mask_c, maximize=True)
         got = jnp.take_along_axis(
             aff, jnp.clip(col, 0, cfg.max_dets - 1)[:, None], axis=1
         )[:, 0]
@@ -381,17 +376,13 @@ def _init_targets(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
     hyp_member = jnp.zeros((MH, C), bool)
     hyp_count = jnp.int32(0)
 
-    NLAP = max(MH, D)
     for c in range(C):
         dets_c, mask_c, bel_c = dets[c], umask[c], bel[c]
         hyp_valid = jnp.arange(MH) < hyp_count
         cost, veto = _hypothesis_costs(
             cfg, cams, hyp_pose, hyp_member, c, dets_c, bel_c
         )
-        pad = jnp.full((NLAP, NLAP), 0.0, jnp.float32).at[:MH, :D].set(cost)
-        rv = jnp.zeros(NLAP, bool).at[:MH].set(hyp_valid)
-        cv = jnp.zeros(NLAP, bool).at[:D].set(mask_c)
-        col = masked_lap(pad, rv, cv)[:MH]  # (MH,) det idx or -1
+        col = masked_lap(cost, hyp_valid, mask_c)  # (MH,) det idx or -1
         got_veto = jnp.take_along_axis(
             veto, jnp.clip(col, 0)[:, None], axis=1
         )[:, 0]

@@ -40,11 +40,13 @@ def decode_heatmaps(heat, boxes, refine=True):
         left = heat[bidx, yi, xi - 1, jidx]
         up = heat[bidx, yi + 1, xi, jidx]
         down = heat[bidx, yi - 1, xi, jidx]
-        # Official HRNet refines only when the peak is strictly interior.
+        # Official HRNet refines only when the peak is strictly interior in
+        # BOTH axes (1 < p < size-1 check in the official inference code).
         in_x = ((idx % wh) >= 1) & ((idx % wh) < wh - 1)
         in_y = ((idx // wh) >= 1) & ((idx // wh) < hh - 1)
-        px = px + jnp.where(in_x, 0.25 * jnp.sign(right - left), 0.0)
-        py = py + jnp.where(in_y, 0.25 * jnp.sign(up - down), 0.0)
+        interior = in_x & in_y
+        px = px + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
+        py = py + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)
 
     x0, y0 = boxes[:, 0:1], boxes[:, 1:2]
     bw = boxes[:, 2:3] - boxes[:, 0:1]

@@ -36,7 +36,7 @@ def main():
     VIEWS = 5
     CROPS_PER_VIEW = 4  # 5 views x 4 people = 20 crops/frame
     H, W = 720, 1280
-    F = 16  # clip length
+    F = 32  # clip length
 
     det_cfg = YoloConfig(max_candidates=CROPS_PER_VIEW)
     pose_cfg = hrnet_w48_config()

@@ -204,7 +204,7 @@ class Pipeline:
             det_cfg, pose_cfg, tcfg = self.det_cfg, self.pose_cfg, self.tracker_cfg
             in_h, in_w = pose_cfg.input_size
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(3,))
             def fn(det_params, pose_params, cams, state, clip, frame_ids):
                 f, c, h, w, _ = clip.shape
                 x = clip.reshape(f * c, h, w, 3).astype(jnp.float32) / 255.0

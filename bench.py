@@ -23,6 +23,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the clip program is large (F*C images,
+    # F*C*K crops in one XLA program); repeat runs skip the multi-minute
+    # compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from tpupose.data.synthetic import make_scene

@@ -1,0 +1,98 @@
+"""Throughput-mode pipeline test (streams sharded over the CPU mesh) and
+training-step convergence test."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpupose.data.synthetic import make_scene
+from tpupose.geometry import make_camera_set
+from tpupose.models.hrnet import hrnet_apply, hrnet_init, tiny_test_config
+from tpupose.models.train import (
+    gaussian_target_heatmaps,
+    heatmap_loss,
+    make_optimizer,
+    make_train_step,
+)
+from tpupose.models.yolov3 import tiny_yolo_test_config, yolov3_init
+from tpupose.parallel import make_mesh, shard_streams
+from tpupose.parallel.streams import broadcast_cameras, init_multistream_state
+from tpupose.parallel.throughput import make_multistream_clip_fn
+from tpupose.tracking.tracker import TrackerConfig
+
+
+def test_multistream_clip_pipeline_runs_sharded():
+    S, F, C, H, W = 4, 2, 3, 96, 128
+    scene = make_scene(num_frames=1, num_cameras=C, num_actors=2, seed=0)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, W, H)
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    tcfg = TrackerConfig(num_cameras=C, max_dets=8, max_tracks=8, max_hyp=16)
+    det_params = yolov3_init(jax.random.PRNGKey(0), det_cfg)
+    pose_params = hrnet_init(jax.random.PRNGKey(1), pose_cfg)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+
+    cams_s = shard_streams(mesh, broadcast_cameras(rig, S))
+    states_s = shard_streams(mesh, init_multistream_state(tcfg, S))
+    rng = np.random.default_rng(0)
+    clip = shard_streams(
+        mesh,
+        jnp.asarray(rng.integers(0, 255, size=(S, F, C, H, W, 3), dtype=np.uint8)),
+    )
+    fids = shard_streams(
+        mesh, jnp.tile(jnp.arange(F, dtype=jnp.int32)[None], (S, 1))
+    )
+    fn = make_multistream_clip_fn(det_cfg, pose_cfg, tcfg, (H, W))
+    new_states, outs = fn(det_params, pose_params, cams_s, states_s, clip, fids)
+    assert np.asarray(outs.pose3d).shape == (S, F, tcfg.max_tracks, 17, 3)
+    assert np.isfinite(np.asarray(new_states.hist_pose)).all()
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(lr=3e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, optimizer, compute_dtype=jnp.float32))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(4, cfg.input_size[0], cfg.input_size[1], 3)).astype(
+            np.float32
+        )
+    )
+    kps = jnp.asarray(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        rng.uniform(4, cfg.input_size[1] - 4, size=cfg.num_joints),
+                        rng.uniform(4, cfg.input_size[0] - 4, size=cfg.num_joints),
+                        np.ones(cfg.num_joints),
+                    ],
+                    axis=1,
+                )
+                for _ in range(4)
+            ]
+        ).astype(np.float32)
+    )
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    loss0 = float(heatmap_loss(params, cfg, images, targets, weights, jnp.float32))
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss = step(params, opt_state, images, targets, weights)
+        losses.append(float(loss))
+    assert losses[-1] < loss0 * 0.7, (loss0, losses)
+
+
+def test_gaussian_targets_peak_at_keypoints():
+    cfg = tiny_test_config()
+    kps = jnp.asarray(
+        np.array([[[16.0, 24.0, 1.0]] * cfg.num_joints], np.float32)
+    )
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    hh, wh = cfg.heatmap_size
+    t = np.asarray(targets)[0, :, :, 0]
+    iy, ix = np.unravel_index(np.argmax(t), t.shape)
+    assert (iy, ix) == (6, 4)  # 24/4, 16/4
+    assert np.asarray(weights).all()

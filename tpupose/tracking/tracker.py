@@ -378,41 +378,69 @@ def _init_targets(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
 
     for c in range(C):
         dets_c, mask_c, bel_c = dets[c], umask[c], bel[c]
-        hyp_valid = jnp.arange(MH) < hyp_count
-        cost, veto = _hypothesis_costs(
-            cfg, cams, hyp_pose, hyp_member, c, dets_c, bel_c
+
+        def do_camera(carry, dets_c=dets_c, mask_c=mask_c, bel_c=bel_c, c=c):
+            hyp_pose, hyp_member, hyp_count = carry
+            hyp_valid = jnp.arange(MH) < hyp_count
+            cost, veto = _hypothesis_costs(
+                cfg, cams, hyp_pose, hyp_member, c, dets_c, bel_c
+            )
+            col = masked_lap(cost, hyp_valid, mask_c)  # (MH,) det idx or -1
+            got_veto = jnp.take_along_axis(
+                veto, jnp.clip(col, 0)[:, None], axis=1
+            )[:, 0]
+            merged = (col >= 0) & ~got_veto
+            # Merge accepted detections into their hypotheses.
+            mdet = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
+            hyp_pose = hyp_pose.at[:, c].set(
+                jnp.where(merged[:, None, None], mdet, hyp_pose[:, c])
+            )
+            hyp_member = hyp_member.at[:, c].set(merged | hyp_member[:, c])
+            # Spawn order (reference: veto'd assignments in hypothesis order,
+            # then unassigned detections in index order).
+            veto_spawn = (col >= 0) & got_veto  # (MH,)
+            assigned = jnp.zeros(D, bool).at[jnp.where(col >= 0, col, D)].set(
+                True, mode="drop"
+            )
+            unassigned = mask_c & ~assigned  # (D,)
+            n1 = jnp.cumsum(veto_spawn)
+            pos1 = jnp.where(veto_spawn, hyp_count + n1 - 1, MH)  # MH -> drop
+            n1_total = n1[-1] if MH > 0 else 0
+            n2 = jnp.cumsum(unassigned)
+            pos2 = jnp.where(unassigned, hyp_count + n1_total + n2 - 1, MH)
+            spawn1 = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
+            hyp_pose = hyp_pose.at[pos1, c].set(spawn1, mode="drop")
+            hyp_member = hyp_member.at[pos1, c].set(True, mode="drop")
+            hyp_pose = hyp_pose.at[pos2, c].set(dets_c, mode="drop")
+            hyp_member = hyp_member.at[pos2, c].set(True, mode="drop")
+            hyp_count = jnp.minimum(hyp_count + n1_total + n2[-1], MH)
+            return (hyp_pose, hyp_member, hyp_count)
+
+        # Steady-state fast path: a camera with no qualified unmatched
+        # detections can neither merge nor spawn — skip its LAP + cost tensor
+        # (the reference's loop body degenerates to a no-op there too).
+        hyp_pose, hyp_member, hyp_count = jax.lax.cond(
+            jnp.any(mask_c), do_camera, lambda carry: carry,
+            (hyp_pose, hyp_member, hyp_count),
         )
-        col = masked_lap(cost, hyp_valid, mask_c)  # (MH,) det idx or -1
-        got_veto = jnp.take_along_axis(
-            veto, jnp.clip(col, 0)[:, None], axis=1
-        )[:, 0]
-        merged = (col >= 0) & ~got_veto
-        # Merge accepted detections into their hypotheses.
-        mdet = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
-        hyp_pose = hyp_pose.at[:, c].set(
-            jnp.where(merged[:, None, None], mdet, hyp_pose[:, c])
-        )
-        hyp_member = hyp_member.at[:, c].set(merged | hyp_member[:, c])
-        # Spawn order (reference: veto'd assignments in hypothesis order,
-        # then unassigned detections in index order).
-        veto_spawn = (col >= 0) & got_veto  # (MH,)
-        assigned = jnp.zeros(D, bool).at[jnp.where(col >= 0, col, D)].set(
-            True, mode="drop"
-        )
-        unassigned = mask_c & ~assigned  # (D,)
-        n1 = jnp.cumsum(veto_spawn)
-        pos1 = jnp.where(veto_spawn, hyp_count + n1 - 1, MH)  # MH -> dropped
-        n1_total = n1[-1] if MH > 0 else 0
-        n2 = jnp.cumsum(unassigned)
-        pos2 = jnp.where(unassigned, hyp_count + n1_total + n2 - 1, MH)
-        spawn1 = jnp.take(dets_c, jnp.clip(col, 0), axis=0)  # (MH, J, 3)
-        hyp_pose = hyp_pose.at[pos1, c].set(spawn1, mode="drop")
-        hyp_member = hyp_member.at[pos1, c].set(True, mode="drop")
-        hyp_pose = hyp_pose.at[pos2, c].set(dets_c, mode="drop")
-        hyp_member = hyp_member.at[pos2, c].set(True, mode="drop")
-        hyp_count = jnp.minimum(hyp_count + n1_total + n2[-1], MH)
 
     # Triangulate hypotheses with >= 2 members (hypothesis.py:23-44).
+    # The whole build + slot allocation is skipped when no hypotheses exist
+    # (steady state with every detection matched).
+    def _build_and_allocate(state):
+        return _materialize_hypotheses(
+            cfg, cams, state, hyp_pose, hyp_member, hyp_count, frame_id
+        )
+
+    return jax.lax.cond(
+        hyp_count > 0, _build_and_allocate, lambda s: s, state
+    )
+
+
+def _materialize_hypotheses(cfg, cams, state, hyp_pose, hyp_member, hyp_count,
+                            frame_id):
+    MH = cfg.max_hyp
+
     def build(member, poses):
         n_members = jnp.sum(member)
         D_t, _ = epipolar_distance_matrix(cams.F, poses, valid=member)

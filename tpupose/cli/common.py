@@ -51,21 +51,40 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer):
     """Per-frame loop accumulating 3D predictions and 2D annotations.
 
     frame_source yields (frame_id, timestamp, images|None, dets|None, mask|None).
+
+    FrameOutputs stay on device during the loop and are harvested in one
+    batched fetch at the end — host<->device syncs per frame are expensive
+    (PERF.md), and nothing in the loop needs the outputs.
     """
-    multi_poses3d = {}
-    annotations = []
+    import jax
+
+    outs = []
+    keys = []
+    frame_ids = []
+    timestamps = []
     is_panoptic = cfg.dataset.test_dataset == "Panoptic"
     for frame_id, timestamp, images, dets, mask in frame_source:
         if images is not None:
             with timer.time("track"):
                 out, dets, mask = pipe.process_frame(frame_id, images)
         else:
-            with timer.time("track", block_on=pipe.state.active):
+            with timer.time("track"):
                 out = pipe.person_track(frame_id, jnp.asarray(dets), jnp.asarray(mask))
+        outs.append(out)
+        keys.append(timestamp if is_panoptic else frame_id)
+        frame_ids.append(frame_id)
+        timestamps.append(timestamp)
+
+    multi_poses3d = {}
+    annotations = []
+    if not outs:
+        return multi_poses3d, annotations
+    stacked = jax.tree.map(lambda *xs: np.asarray(jnp.stack(xs)), *outs)
+    for i, key in enumerate(keys):
+        out_i = jax.tree.map(lambda x: x[i], stacked)
         pts3d, ids, anns = pipe.harvest(
-            out, frame_id, timestamp if is_panoptic else None
+            out_i, frame_ids[i], timestamps[i] if is_panoptic else None
         )
-        key = timestamp if is_panoptic else frame_id
         multi_poses3d[key] = pts3d
         annotations.extend(anns)
     return multi_poses3d, annotations

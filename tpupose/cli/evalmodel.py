@@ -77,28 +77,43 @@ def main(argv=None):
 
 
 def _run_synthetic(args, timer):
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from tpupose.data.config import Config, DatasetConfig, DetectModelConfig, \
-        MatcherConfig, PipelineConfig, PoseModelConfig
     from tpupose.eval import coco2shelf3d, evaluate_pcp
     from tpupose.geometry import make_camera_set
     from tpupose.pipeline.facade import Pipeline
-    from tpupose.tracking.tracker import TrackerConfig
+    from tpupose.tracking.tracker import TrackerConfig, init_state, track_clip
 
     scene, source = synthetic_frame_source(num_frames=args.frames)
     rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
     tcfg = TrackerConfig(num_cameras=scene.num_cameras)
     pipe = Pipeline(cams=rig, tracker_cfg=tcfg)
-    cfg = Config(
-        test_function="PersonTrack_Project3DPose",
-        pipeline=PipelineConfig(),
-        dataset=DatasetConfig(test_dataset="Synthetic", root=".", folders_order=[]),
-        detect_model=DetectModelConfig(),
-        pose_model=PoseModelConfig(),
-        matcher=MatcherConfig(),
-    )
-    multi_poses3d, annotations = run_eval_loop(cfg, pipe, source, timer)
+
+    # Replay-mode clip path: all detections transfer once, the tracker scans
+    # the clip on-device, outputs fetch once (PERF.md: per-frame syncs are
+    # ~25 ms each through the dev tunnel).
+    all_dets, all_masks = [], []
+    for _, _, _, dets, mask in source:
+        all_dets.append(dets)
+        all_masks.append(mask)
+    F = len(all_dets)
+    dets = jnp.asarray(np.stack(all_dets))
+    masks = jnp.asarray(np.stack(all_masks))
+    fids = jnp.arange(F, dtype=jnp.int32)
+    clip_fn = jax.jit(lambda st, d, m, f: track_clip(tcfg, rig, st, d, m, f))
+    state, outs = clip_fn(init_state(tcfg), dets, masks, fids)  # compile
+    with timer.time("track"):
+        state, outs = clip_fn(init_state(tcfg), dets, masks, fids)
+        outs_np = jax.tree.map(np.asarray, outs)
+    timer.counts["track"] = F  # report per-frame
+    multi_poses3d, annotations = {}, []
+    for t in range(F):
+        out_t = jax.tree.map(lambda x: x[t], outs_np)
+        pts3d, ids, anns = pipe.harvest(out_t, t)
+        multi_poses3d[t] = pts3d
+        annotations.extend(anns)
     actors_gt = [
         [coco2shelf3d(scene.gt3d[t, a].T) for t in range(scene.num_frames)]
         for a in range(scene.num_actors)

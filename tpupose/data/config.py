@@ -102,7 +102,20 @@ def _eval_ranges(value):
 
 def load_config(path: str) -> Config:
     with open(path) as f:
-        raw = yaml.safe_load(f)
+        text = f.read()
+    try:
+        raw = yaml.safe_load(text)
+    except yaml.YAMLError:
+        # The reference's shipped Panoptic YAML is not even valid YAML: the
+        # PERSON_MATCHERS key is truncated to a bare `PERSON_M` line with no
+        # colon (`src/configs/Panoptic/model_configs.yaml:59`), which crashes
+        # any YAML parser (the reference itself included). Repair and retry.
+        repaired = []
+        for line in text.splitlines():
+            if line.strip() == "PERSON_M":
+                line = line.replace("PERSON_M", "PERSON_MATCHERS:")
+            repaired.append(line)
+        raw = yaml.safe_load("\n".join(repaired))
 
     pipe = raw["PIPELINE_COMBINATION"]
     pipeline = PipelineConfig(

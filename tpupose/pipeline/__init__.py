@@ -1,0 +1,4 @@
+"""Pipeline facade + registries."""
+from tpupose.pipeline.facade import Pipeline
+
+__all__ = ["Pipeline"]

@@ -369,7 +369,12 @@ def _init_targets(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
                   dets, unmatched, frame_id):
     C, J, MH, D = cfg.num_cameras, cfg.num_joints, cfg.max_hyp, cfg.max_dets
     scores = dets[..., 2]
-    bel = jnp.mean(jnp.where(scores >= 0, scores, 0.0), axis=-1)  # mean conf (C, D)
+    # believe = mean of non-negative keypoint scores (calculate.py:8-14 —
+    # negative scores are excluded from the mean, not zeroed).
+    nonneg = scores >= 0
+    bel = jnp.sum(jnp.where(nonneg, scores, 0.0), axis=-1) / jnp.maximum(
+        jnp.sum(nonneg, axis=-1), 1
+    )
     umask = unmatched & (bel > cfg.conf_threshold)
 
     hyp_pose = jnp.zeros((MH, C, J, 3), jnp.float32)

@@ -78,21 +78,32 @@ def main(argv=None):
 
 
 def _run_synthetic(args, timer):
-    from tpupose.geometry import make_camera_set
-    from tpupose.pipeline.facade import Pipeline
-    from tpupose.tracking.tracker import TrackerConfig
+    import jax
     import jax.numpy as jnp
+
+    from tpupose.geometry import make_camera_set
+    from tpupose.tracking.tracker import TrackerConfig, init_state, track_clip
 
     scene, source = synthetic_frame_source(num_frames=args.frames)
     rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
     tcfg = TrackerConfig(num_cameras=scene.num_cameras)
-    pipe = Pipeline(cams=rig, tracker_cfg=tcfg)
-    n_out = 0
-    for frame_id, _, _, dets, mask in source:
-        with timer.time("track", block_on=None):
-            out = pipe.person_track(frame_id, jnp.asarray(dets), jnp.asarray(mask))
-        n_out += int(np.asarray(out.valid).sum())
-    print(f"confirmed track-frames: {n_out}")
+    # Clip-scan path (same as evalmodel --synthetic): one transfer in, one
+    # scan on device, one fetch out.
+    all_dets, all_masks = [], []
+    for _, _, _, dets, mask in source:
+        all_dets.append(dets)
+        all_masks.append(mask)
+    F = len(all_dets)
+    dets = jnp.asarray(np.stack(all_dets))
+    masks = jnp.asarray(np.stack(all_masks))
+    fids = jnp.arange(F, dtype=jnp.int32)
+    clip_fn = jax.jit(lambda st, d, m, f: track_clip(tcfg, rig, st, d, m, f))
+    state, outs = clip_fn(init_state(tcfg), dets, masks, fids)  # compile
+    with timer.time("track"):
+        state, outs = clip_fn(init_state(tcfg), dets, masks, fids)
+        valid = np.asarray(outs.valid)
+    timer.counts["track"] = F  # report per-frame
+    print(f"confirmed track-frames: {int(valid.sum())}")
     print(timer.report(num_views=scene.num_cameras))
 
 

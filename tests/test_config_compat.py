@@ -36,3 +36,59 @@ def test_reference_configs_load_verbatim(ds):
     # (SURVEY.md §2.3).
     assert cfg.matcher.name == "Iterative"
     assert cfg.matcher.lambda_t == 5.0
+
+
+def test_joint_gate_plumbed_from_yaml(tmp_path):
+    """JOINT_GATE reaches TrackerConfig; default is the reference's hardcoded
+    10 (`src/tracking/IterativeTracker.py:145`); 14 expresses the Campus
+    variant its comment describes."""
+    import yaml
+
+    from tpupose.tracking.tracker import CAMPUS_JOINT_GATE, REFERENCE_JOINT_GATE
+
+    base = os.path.join(REPO_CONFIGS, "CampusSeq1", "model_configs.yaml")
+    cfg = load_config(base)
+    assert cfg.matcher.joint_gate == REFERENCE_JOINT_GATE
+    tcfg = tracker_config_from(cfg, num_cameras=3)
+    assert tcfg.joint_gate == REFERENCE_JOINT_GATE
+
+    with open(base) as f:
+        raw = yaml.safe_load(f)
+    raw["PERSON_MATCHERS"]["ITERATIVE"]["JOINT_GATE"] = CAMPUS_JOINT_GATE
+    variant = tmp_path / "model_configs.yaml"
+    variant.write_text(yaml.safe_dump(raw))
+    cfg14 = load_config(str(variant))
+    assert cfg14.matcher.joint_gate == CAMPUS_JOINT_GATE
+    assert tracker_config_from(cfg14, num_cameras=3).joint_gate == CAMPUS_JOINT_GATE
+
+
+def test_joint_gate_changes_association():
+    """A stricter gate must reject matches a looser gate accepts (the gate
+    compares the count of positive per-joint scores, not their mean)."""
+    import numpy as np
+
+    from tpupose.data.synthetic import make_scene
+    from tpupose.geometry import make_camera_set
+    from tpupose.tracking import oracle
+
+    scene = make_scene(num_frames=6, num_cameras=3, num_actors=2,
+                       noise_px=0.5, seed=3)
+    cams = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+
+    def run(gate):
+        p = oracle.TrackerParams(joint_gate=gate)
+        rig = oracle.OracleTracker.make_cameras(
+            np.asarray(cams.P), np.asarray(cams.F),
+            np.asarray(cams.rk_inv), np.asarray(cams.center),
+        )
+        trk = oracle.OracleTracker(rig, p)
+        for t in range(scene.num_frames):
+            trk.step(t, scene.detections_list(t))
+        return sum(1 for tr in trk.tracks if tr.state == oracle.CONFIRMED)
+
+    # gate 10 (> 10 positive joints) lets clean matches through, so tracks
+    # accumulate updates and confirm; gate 17 demands > 17 positive joints,
+    # impossible with 17 joints, so association never fires and no track can
+    # ever confirm.
+    assert run(10) > 0
+    assert run(17) == 0

@@ -66,6 +66,13 @@ class MatcherConfig:
     lambda_t: float = 5.0
     sigma: float = 0.6
     arm_sigma: float = 0.8
+    # Association joint gate: a track<->detection pair is admissible only if
+    # more than this many joints have positive time-discounted scores. The
+    # reference hardcodes 10 with a comment that Campus should use 14
+    # (`src/tracking/IterativeTracker.py:145`, `:411`); we keep 10 as the
+    # default (the shipped behaviour) and expose it as the YAML key
+    # JOINT_GATE so the Campus variant is expressible.
+    joint_gate: int = 10
 
 
 @dataclasses.dataclass
@@ -181,6 +188,7 @@ def load_config(path: str) -> Config:
         lambda_t=float(mm.get("LAMBDA_T", 5)),
         sigma=float(mm.get("SIGMA", 0.6)),
         arm_sigma=float(mm.get("ARM_SIGMA", 0.8)),
+        joint_gate=int(mm.get("JOINT_GATE", 10)),
     )
 
     return Config(
@@ -216,6 +224,7 @@ def tracker_config_from(cfg: Config, num_cameras: int, **overrides):
         lambda_t=m.lambda_t,
         sigma=m.sigma,
         arm_sigma=m.arm_sigma,
+        joint_gate=m.joint_gate,
     )
     kw.update(overrides)
     return TrackerConfig(**kw)

@@ -38,6 +38,13 @@ from tpupose.ops import masked_lap, smooth_last_pose
 
 NEVER = np.int32(-(10**8))  # "no 2D pose stored" timestamp sentinel
 
+#: The reference hardcodes the association joint gate to 10 for every dataset
+#: (`src/tracking/IterativeTracker.py:145`) even though its own comment says
+#: Campus should use 14. We default to the shipped value and let configs
+#: select the Campus variant via the JOINT_GATE YAML key.
+REFERENCE_JOINT_GATE = 10
+CAMPUS_JOINT_GATE = 14
+
 
 @dataclasses.dataclass(frozen=True)
 class TrackerConfig:

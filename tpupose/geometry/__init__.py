@@ -23,8 +23,10 @@ from tpupose.geometry.rays import (
 )
 from tpupose.geometry.triangulation import (
     dlt_design_rows,
+    fuse_pairwise_humans,
     triangulate_joints,
     triangulate_pairwise,
+    triangulate_top_down,
 )
 
 __all__ = [
@@ -40,6 +42,8 @@ __all__ = [
     "line_point_distance_3d",
     "line_line_distance_3d",
     "dlt_design_rows",
+    "fuse_pairwise_humans",
     "triangulate_joints",
     "triangulate_pairwise",
+    "triangulate_top_down",
 ]

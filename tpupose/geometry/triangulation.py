@@ -17,6 +17,7 @@ better onto TPU than many small ragged SVDs.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -106,3 +107,84 @@ def triangulate_pairwise(P_a, P_b, pts_a, pts_b):
     w = X[..., 3:4]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     return X[..., :3] / w
+
+
+def triangulate_top_down(P, poses_xy, weights2d, view_valid=None):
+    """All-pairs two-view DLT, keep the pair with the least total
+    reprojection error (the reference's alternative BUILD_3D kernel
+    `top_down_pose_kernel`, `src/utils/construction.py:9-31`).
+
+    Args:
+      P: (V, 3, 4) projection matrices.
+      poses_xy: (V, J, 2) per-view 2D joints (x, y).
+      weights2d: (V, J) per-view per-joint weights/scores.
+      view_valid: optional (V,) bool; invalid views are excluded from both
+        pair candidates and the reprojection-error sum.
+
+    Returns:
+      pose3d: (J, 3) from the winning pair.
+      weight3d: (J,) = mean of the winning pair's per-joint weights.
+    """
+    V = P.shape[0]
+    if view_valid is None:
+        view_valid = jnp.ones(V, bool)
+    ii, jj = jnp.triu_indices(V, k=1)  # static pair list
+
+    def one_pair(a, b):
+        pose = triangulate_pairwise(P[a], P[b], poses_xy[a], poses_xy[b])
+        hom = jnp.concatenate([pose, jnp.ones_like(pose[..., :1])], axis=-1)
+        proj = jnp.einsum("vik,jk->vji", P, hom, precision="highest")
+        # The reference guards the divide with z + 1e-5 (`construction.py:25`).
+        xy = proj[..., :2] / (proj[..., 2:3] + 1e-5)
+        per_view = jnp.sqrt(
+            jnp.sum((xy - poses_xy) ** 2, axis=(1, 2))
+        )  # Frobenius ||proj - obs|| per view (`construction.py:26`)
+        err = jnp.sum(jnp.where(view_valid, per_view, 0.0))
+        return pose, err, (weights2d[a] + weights2d[b]) / 2.0
+
+    poses, errs, weights = jax.vmap(one_pair)(ii, jj)
+    pair_ok = view_valid[ii] & view_valid[jj]
+    errs = jnp.where(pair_ok, errs, jnp.inf)
+    best = jnp.argmin(errs)
+    return poses[best], weights[best]
+
+
+def fuse_pairwise_humans(points, point_valid, weights, costs, person_valid=None):
+    """Cost-weighted fusion of per-pair triangulations into one 3D person
+    (the reference's `get_single_human3d`, `src/tracking/hypothesis.py:153-180`).
+
+    Each candidate person (one per camera pair) contributes its joints with
+    weight (total_cost - cost_p) / (total_cost * (count - 1)) — cheaper pairs
+    count more; a single candidate passes through unweighted.
+
+    Args:
+      points: (N, J, 3) candidate joint positions.
+      point_valid: (N, J) bool — joint j triangulated by candidate n.
+      weights: (N, J) per-joint confidence of each candidate.
+      costs: (N,) matching cost of each candidate pair.
+      person_valid: optional (N,) bool candidate mask.
+
+    Returns:
+      human3d: (J, 3) fused joints (zeros where no candidate had the joint).
+      weight3d: (J,) mean contributing confidence (0 where none).
+      joint_valid: (J,) bool.
+    """
+    N = points.shape[0]
+    if person_valid is None:
+        person_valid = jnp.ones(N, bool)
+    count = jnp.sum(person_valid)
+    total_cost = jnp.sum(jnp.where(person_valid, costs, 0.0))
+    multi = (total_cost - costs) / jnp.maximum(
+        total_cost * jnp.maximum(count - 1, 1), 1e-12
+    )
+    w_person = jnp.where(count == 1, 1.0, multi)  # (N,)
+    contrib = point_valid & person_valid[:, None]  # (N, J)
+    human3d = jnp.sum(
+        jnp.where(contrib[..., None], points * w_person[:, None, None], 0.0),
+        axis=0,
+    )
+    n_contrib = jnp.sum(contrib, axis=0)
+    weight3d = jnp.sum(jnp.where(contrib, weights, 0.0), axis=0) / jnp.maximum(
+        n_contrib, 1
+    )
+    return human3d, weight3d, n_contrib > 0

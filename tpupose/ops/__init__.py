@@ -8,6 +8,7 @@ from tpupose.ops.affinity import (
 from tpupose.ops.heatmap import decode_heatmaps, expand_box_to_aspect
 from tpupose.ops.image import crop_and_resize, resize_bilinear
 from tpupose.ops.lap import PAD_COST, masked_lap, solve_lap
+from tpupose.ops.matchmat import proj2dpam, proj2pav, transform_closure
 from tpupose.ops.nms import iou_matrix, nms
 from tpupose.ops.smoothing import gaussian_kernel1d, smooth_last, smooth_last_pose
 
@@ -23,6 +24,9 @@ __all__ = [
     "PAD_COST",
     "masked_lap",
     "solve_lap",
+    "proj2dpam",
+    "proj2pav",
+    "transform_closure",
     "iou_matrix",
     "nms",
     "gaussian_kernel1d",

@@ -7,6 +7,7 @@ this module populates the registries.
 from __future__ import annotations
 
 from tpupose.utils.registry import (
+    BUILD_3D_KERNELS,
     DETECTORS,
     INIT_METHODS,
     MATCHERS,
@@ -64,6 +65,25 @@ def init_method_bip():
     """BIP clique-partition alternative (host-side solver,
     tpupose.tracking.bip)."""
     return "bip"
+
+
+@BUILD_3D_KERNELS.register("svd")
+def build_3d_svd():
+    """Time-weighted masked DLT-SVD — the production kernel (the reference's
+    `SVD_pose_kernel_jf`, `src/utils/construction.py:89-114`; asserted as the
+    only tracking path at `src/tracking/IterativeTracker.py:306`)."""
+    from tpupose.geometry import triangulate_joints
+
+    return triangulate_joints
+
+
+@BUILD_3D_KERNELS.register("topdown")
+def build_3d_top_down():
+    """All-pairs two-view DLT with min-reprojection pair selection (the
+    reference's `top_down_pose_kernel`, `src/utils/construction.py:9-31`)."""
+    from tpupose.geometry import triangulate_top_down
+
+    return triangulate_top_down
 
 
 @TEST_FUNCTIONS.register("persontrack_project3dpose")

@@ -39,3 +39,4 @@ POSE_MODELS = Registry("pose model")
 MATCHERS = Registry("person matcher")
 TEST_FUNCTIONS = Registry("test function")
 INIT_METHODS = Registry("init method")
+BUILD_3D_KERNELS = Registry("build-3d kernel")

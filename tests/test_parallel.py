@@ -102,3 +102,67 @@ def test_conv_param_sharding_rules():
         if any(a is not None for a in s.spec)
     )
     assert n_tp > 10  # a meaningful number of kernels are TP-sharded
+
+
+def test_multistream_step_fn_honors_mesh_shardings():
+    """With a mesh, the jitted multistream step pins stream-axis 'data'
+    sharding on inputs AND outputs (no silent replication)."""
+    scene = make_scene(num_frames=1, num_cameras=3, num_actors=2, seed=5)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    tcfg = TrackerConfig(num_cameras=3, max_tracks=8, max_dets=4, max_hyp=12)
+    mesh = make_mesh(data=8, model=1)
+    S = 8
+    cams = shard_streams(mesh, broadcast_cameras(rig, S))
+    state = shard_streams(mesh, init_multistream_state(tcfg, S))
+    dets = np.zeros((S, 3, 4, 17, 3), np.float32)
+    mask = np.zeros((S, 3, 4), bool)
+    for c, d in enumerate(scene.detections_list(0)):
+        dets[:, c, : len(d)] = d
+        mask[:, c, : len(d)] = True
+    step = make_multistream_step_fn(tcfg, mesh)
+    new_state, out = step(
+        cams, state, shard_streams(mesh, jnp.asarray(dets)),
+        shard_streams(mesh, jnp.asarray(mask)),
+        shard_streams(mesh, jnp.zeros(S, jnp.int32)),
+    )
+    for leaf in jax.tree.leaves(new_state) + jax.tree.leaves(out):
+        spec = leaf.sharding.spec
+        assert len(spec) >= 1 and spec[0] == "data", f"bad sharding {spec}"
+    assert bool(jnp.any(new_state.active))
+
+
+def test_sharded_train_step_runs_and_keeps_shardings():
+    from tpupose.models.hrnet import hrnet_init, tiny_test_config
+    from tpupose.models.train import (
+        gaussian_target_heatmaps,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(lr=1e-4)
+    step, shardings_for = make_sharded_train_step(
+        cfg, optimizer, mesh, compute_dtype=jnp.float32
+    )
+    params = jax.device_put(params, shardings_for(params))
+    opt_state = optimizer.init(params)
+    batch = 8
+    images = jnp.zeros((batch, cfg.input_size[0], cfg.input_size[1], 3))
+    kps = jnp.tile(jnp.array([[8.0, 9.0, 1.0]]), (batch, cfg.num_joints, 1))
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    params2, opt_state2, loss = step(params, opt_state, images, targets, weights)
+    assert np.isfinite(float(loss))
+    # TP-sharded kernels stay TP-sharded after the update.
+    specs = [
+        s.spec
+        for s in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding, params2),
+            is_leaf=lambda x: hasattr(x, "spec"),
+        )
+    ]
+    assert any("model" in tuple(sp) for sp in specs)
+    # Second call reuses the cached compiled fn.
+    params3, _, loss2 = step(params2, opt_state2, images, targets, weights)
+    assert np.isfinite(float(loss2))

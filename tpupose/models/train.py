@@ -72,15 +72,36 @@ def make_sharded_train_step(cfg: HRNetConfig, optimizer, mesh,
                             compute_dtype=jnp.float32):
     """Train step jitted over a ('data', 'model') mesh.
 
-    Batch arrays shard on axis 0 over 'data'; params/opt state shard per
-    `conv_param_sharding` (TP over output channels where divisible).
+    Batch arrays shard on axis 0 over 'data'; params and optimizer state
+    shard per `conv_param_sharding` (TP over conv output channels where
+    divisible — the rule is shape-based, so Adam's mu/nu mirrors pick up the
+    same placement and its scalar count stays replicated). The jit carries
+    explicit in/out shardings, so gradient psums and any boundary reshards
+    are inserted by XLA's SPMD partitioner.
+
+    Returns (sharded_step, shardings_for): call `shardings_for(params)` to
+    `device_put` params before the first step; `sharded_step` jits lazily on
+    first call (it needs the concrete param/opt-state trees for shardings).
     """
-    from tpupose.parallel.mesh import conv_param_sharding, data_sharding
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from tpupose.parallel.mesh import conv_param_sharding
 
     step = make_train_step(cfg, optimizer, compute_dtype)
+    batch_s = NamedSharding(mesh, PartitionSpec("data"))
+    scalar_s = NamedSharding(mesh, PartitionSpec())
+    cache = {}
 
     def sharded(params, opt_state, images, targets, weights):
-        return step(params, opt_state, images, targets, weights)
+        if "fn" not in cache:
+            ps = conv_param_sharding(mesh, params)
+            os_ = conv_param_sharding(mesh, opt_state)
+            cache["fn"] = jax.jit(
+                step,
+                in_shardings=(ps, os_, batch_s, batch_s, batch_s),
+                out_shardings=(ps, os_, scalar_s),
+            )
+        return cache["fn"](params, opt_state, images, targets, weights)
 
     def shardings_for(params):
         return conv_param_sharding(mesh, params)

@@ -53,10 +53,24 @@ def shard_streams(mesh, tree):
 
 
 def make_multistream_step_fn(cfg: TrackerConfig, mesh=None):
-    """jit-compiled multistream step; with a mesh, inputs/outputs keep their
-    stream-axis sharding so each chip advances its own streams."""
-    fn = jax.jit(partial(multistream_step, cfg))
-    return fn
+    """jit-compiled multistream step.
+
+    With a mesh, every input/output pytree is constrained to axis-0 ('data')
+    stream sharding, so each chip advances only its own streams and XLA
+    inserts no cross-chip collectives in the hot loop (all leaves carry a
+    leading stream axis — `init_multistream_state`/`broadcast_cameras`
+    broadcast even scalars)."""
+    fn = partial(multistream_step, cfg)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    s = NamedSharding(mesh, PartitionSpec("data"))
+    return jax.jit(
+        fn,
+        in_shardings=(s, s, s, s, s),
+        out_shardings=(s, s),
+    )
 
 
 def broadcast_cameras(cams: CameraSet, num_streams: int) -> CameraSet:

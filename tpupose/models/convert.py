@@ -66,19 +66,56 @@ def load_hrnet_torch_checkpoint(path):
 
 # -- darknet -----------------------------------------------------------------
 
+def read_darknet_file(path):
+    """Read a darknet `.weights` binary header + float payload.
+
+    The header is 3x int32 (major, minor, revision) followed by the image
+    counter `seen`, whose width depends on the format version: int64 when
+    major*10 + minor >= 2 (yolov3.weights ships as version 0.2), int32 for
+    older files. Reading 5 int32 unconditionally would misalign every weight
+    of an old-format file by 4 bytes.
+
+    Returns:
+      (header dict with major/minor/revision/seen, float32 weight array)
+    """
+    with open(path, "rb") as f:
+        version = np.fromfile(f, dtype=np.int32, count=3)
+        if version.size != 3:
+            raise ValueError(f"not a darknet weights file: {path}")
+        major, minor, revision = (int(v) for v in version)
+        seen_dtype = np.int64 if major * 10 + minor >= 2 else np.int32
+        seen = np.fromfile(f, dtype=seen_dtype, count=1)
+        data = np.fromfile(f, dtype=np.float32)
+    header = {
+        "major": major,
+        "minor": minor,
+        "revision": revision,
+        "seen": int(seen[0]) if seen.size else 0,
+    }
+    return header, data
+
+
+def write_darknet_file(path, header, data):
+    """Inverse of `read_darknet_file` (fixture/round-trip use)."""
+    major, minor = header["major"], header["minor"]
+    seen_dtype = np.int64 if major * 10 + minor >= 2 else np.int32
+    with open(path, "wb") as f:
+        np.asarray(
+            [major, minor, header.get("revision", 0)], np.int32
+        ).tofile(f)
+        np.asarray([header.get("seen", 0)], seen_dtype).tofile(f)
+        np.asarray(data, np.float32).tofile(f)
+
+
 def load_darknet_weights(path, cfg):
     """Parse a darknet `.weights` binary into YOLOv3 params.
 
     Layout (per conv section, file order == `YoloConfig.conv_specs` order):
-    header (3x int32 version + int64 seen), then for each conv:
+    version-dependent header (`read_darknet_file`), then for each conv:
       with BN:   bn_bias, bn_scale, bn_mean, bn_var, conv_weights(OIHW)
       without:   conv_bias, conv_weights(OIHW)
     """
-    from tpupose.models.yolov3 import conv_in_channels
-
-    with open(path, "rb") as f:
-        header = np.fromfile(f, dtype=np.int32, count=5)
-        data = np.fromfile(f, dtype=np.float32)
+    header, data = read_darknet_file(path)
     return darknet_array_to_params(data, cfg), header
 
 

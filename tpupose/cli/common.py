@@ -23,27 +23,48 @@ from tpupose.utils.timing import StageTimer
 
 def build_pipeline_real(cfg: Config, camera_parameter, width, height):
     from tpupose.models.convert import load_darknet_weights, load_hrnet_torch_checkpoint
-    from tpupose.models.hrnet import HRNetConfig
-    from tpupose.models.yolov3 import YoloConfig
 
     cams = Pipeline.camera_set_from_parameter_dict(
         camera_parameter, width, height, num_cameras=len(cfg.dataset.folders_order)
     )
     tcfg = tracker_config_from(cfg, num_cameras=cams.num_cameras)
-    det_cfg = YoloConfig(
-        score_thresh=cfg.detect_model.score_thresh,
-        nms_thresh=cfg.detect_model.nms_thresh,
-    )
+    det_cfg = yolo_config_from(cfg)
     det_params, _ = load_darknet_weights(cfg.detect_model.weight, det_cfg)
-    pose_cfg = HRNetConfig(
-        width=cfg.pose_model.c,
-        num_joints=cfg.pose_model.num_joints,
-        input_size=tuple(cfg.pose_model.resolution),
-    )
+    pose_cfg = hrnet_config_from(cfg)
     pose_params = load_hrnet_torch_checkpoint(cfg.pose_model.checkpoint_file)
     return Pipeline(
         cams=cams, tracker_cfg=tcfg, det_cfg=det_cfg, det_params=det_params,
         pose_cfg=pose_cfg, pose_params=pose_params,
+    )
+
+
+def yolo_config_from(cfg: Config):
+    from tpupose.models.yolov3 import YoloConfig
+
+    d = cfg.detect_model
+    return YoloConfig(
+        score_thresh=d.score_thresh,
+        nms_thresh=d.nms_thresh,
+        width_mult=d.width_mult,
+        num_classes=d.num_classes,
+        input_size=d.input_size,
+        max_candidates=d.max_candidates,
+    )
+
+
+def hrnet_config_from(cfg: Config):
+    from tpupose.models.hrnet import HRNetConfig
+
+    p = cfg.pose_model
+    return HRNetConfig(
+        width=p.c,
+        num_joints=p.num_joints,
+        input_size=tuple(p.resolution),
+        stem_channels=p.stem_channels,
+        layer1_blocks=p.layer1_blocks,
+        layer1_planes=p.layer1_planes,
+        stage_modules=tuple(p.stage_modules),
+        stage_blocks=p.stage_blocks,
     )
 
 

@@ -36,6 +36,14 @@ class DetectModelConfig:
     class_names: str = ""
     score_thresh: float = 0.5
     nms_thresh: float = 0.4
+    # Framework extensions (absent from reference YAMLs -> real yolov3):
+    # channel multiplier / class count / input size for reduced variants,
+    # so fabricated mini-datasets can drive the FULL real code path with
+    # small checkpoints (tests) while production configs stay untouched.
+    width_mult: float = 1.0
+    num_classes: int = 80
+    input_size: int = 416
+    max_candidates: int = 64
 
 
 @dataclasses.dataclass
@@ -46,6 +54,13 @@ class PoseModelConfig:
     checkpoint_file: str = ""
     model_name: str = "HRNet"
     resolution: tuple = (384, 288)
+    # Framework extensions (absent from reference YAMLs -> real pose_hrnet
+    # topology): reduced-variant knobs for mini-dataset integration tests.
+    stem_channels: int = 64
+    layer1_blocks: int = 4
+    layer1_planes: int = 64
+    stage_modules: tuple = (1, 4, 3)
+    stage_blocks: int = 4
 
 
 @dataclasses.dataclass
@@ -155,6 +170,10 @@ def load_config(path: str) -> Config:
         class_names=dm.get("CLASS_NAMES", ""),
         score_thresh=float(dm.get("SCORE_THRESH", 0.5)),
         nms_thresh=float(dm.get("NMS_THRESH", 0.4)),
+        width_mult=float(dm.get("WIDTH_MULT", 1.0)),
+        num_classes=int(dm.get("NUM_CLASSES", 80)),
+        input_size=int(dm.get("INPUT_SIZE", 416)),
+        max_candidates=int(dm.get("MAX_CANDIDATES", 64)),
     )
 
     pose_models = raw.get("POSE_MODELS", {})
@@ -166,6 +185,11 @@ def load_config(path: str) -> Config:
         checkpoint_file=pm.get("CHECKPOINT_FILE", ""),
         model_name=pm.get("MODEL_NAME", "HRNet"),
         resolution=tuple(pm.get("RESOLUTION", (384, 288))),
+        stem_channels=int(pm.get("STEM_CHANNELS", 64)),
+        layer1_blocks=int(pm.get("LAYER1_BLOCKS", 4)),
+        layer1_planes=int(pm.get("LAYER1_PLANES", 64)),
+        stage_modules=tuple(pm.get("STAGE_MODULES", (1, 4, 3))),
+        stage_blocks=int(pm.get("STAGE_BLOCKS", 4)),
     )
 
     # Tolerate the shipped Panoptic YAML's PERSON_M typo (SURVEY.md §2.3).

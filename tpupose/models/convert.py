@@ -119,6 +119,27 @@ def load_darknet_weights(path, cfg):
     return darknet_array_to_params(data, cfg), header
 
 
+def params_to_darknet_array(params, cfg):
+    """Serialize YOLOv3 params back into darknet file order (inverse of
+    `darknet_array_to_params`; used to fabricate .weights fixtures and for
+    round-trip testing)."""
+    specs = cfg.conv_specs
+    chunks = []
+    for i, (cout, k, s, bn) in enumerate(specs):
+        p = params[f"conv{i}"]
+        if bn:
+            b = p["bn"]
+            chunks += [
+                np.asarray(b["bias"]), np.asarray(b["weight"]),
+                np.asarray(b["running_mean"]), np.asarray(b["running_var"]),
+            ]
+        else:
+            chunks.append(np.asarray(p["conv"]["bias"]))
+        w = np.asarray(p["conv"]["weight"]).transpose(3, 2, 0, 1)  # HWIO->OIHW
+        chunks.append(w.ravel())
+    return np.concatenate([c.ravel() for c in chunks]).astype(np.float32)
+
+
 def darknet_array_to_params(data, cfg):
     from tpupose.models.yolov3 import conv_in_channels
 

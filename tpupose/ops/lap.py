@@ -25,8 +25,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-#: Cost used for padded (invalid) entries. Large enough to never be preferred
-#: over any real cost, small enough to keep f32 arithmetic exact-ish.
+#: Fallback padding cost when a masked block has no valid entries. Real
+#: padding is DYNAMIC (see `masked_lap`): a fixed huge pad (the old 1e6)
+#: poisons f32 — the JV potentials mix pad-scale and cost-scale values, and
+#: f32 at 1e6 resolves only ~0.06, erasing small affinity differences
+#: (association scores are ~1e-2), which made the assignment among real
+#: pairs effectively arbitrary.
 PAD_COST = 1e6
 
 
@@ -110,9 +114,12 @@ def solve_lap(cost):
 def masked_lap(cost, row_valid, col_valid, maximize=False):
     """LAP over a masked block of a fixed (R, C) matrix.
 
-    Invalid rows/cols/entries are padded with PAD_COST so real pairs are
-    always preferred; the returned `col_of_row` marks assignments to invalid
-    columns (or from invalid rows) as -1.
+    Invalid rows/cols/entries are padded so real pairs are always preferred;
+    the returned `col_of_row` marks assignments to invalid columns (or from
+    invalid rows) as -1. The pad is scaled to the matrix — cmax + n*span + 1
+    guarantees the optimum never trades a real pair for a pad (an extra pad
+    cell costs more than any rearrangement of n real cells can recover)
+    while keeping all arithmetic at the costs' own f32 scale.
 
     Args:
       cost: (R, C) costs (or scores if maximize=True).
@@ -128,7 +135,11 @@ def masked_lap(cost, row_valid, col_valid, maximize=False):
     if maximize:
         c = -c
     ok = row_valid[:, None] & col_valid[None, :]
-    c = jnp.where(ok, c, PAD_COST)
+    has = jnp.any(ok)
+    cmax = jnp.where(has, jnp.max(jnp.where(ok, c, -jnp.inf)), 0.0)
+    cmin = jnp.where(has, jnp.min(jnp.where(ok, c, jnp.inf)), 0.0)
+    pad = cmax + (cmax - cmin) * min(R, C) + 1.0
+    c = jnp.where(ok, c, pad)
     if R <= C:
         _, col_of_row = solve_lap(c)
     else:

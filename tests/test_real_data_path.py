@@ -1,0 +1,128 @@
+"""End-to-end REAL-data path integration on a fabricated on-disk
+mini-dataset (VERDICT r1 item 1): every line the real Campus run would
+execute — YAML config -> glob -> natsort -> image decode -> detect/pose (or
+cached-detections replay) -> track -> pkl + 2D JSON artifacts ->
+actorsGT.mat PCP scoring -> table."""
+import glob
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tpupose.data.fabricate import fabricate_mini_dataset
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    root = tmp_path_factory.mktemp("minicampus")
+    cfg_path, paths = fabricate_mini_dataset(root, with_weights=True)
+    return paths
+
+
+def test_filenames_natsorted_and_decodable(mini):
+    """The fabricated frame names are natsort-hostile (frame 10 sorts before
+    frame 9 lexically); the manifest must come back in numeric order, and
+    the decoder must return matching RGB frames."""
+    from tpupose.data.config import load_config
+    from tpupose.data.dataset import load_filenames, load_images
+
+    cfg = load_config(mini["yaml"])
+    datas = load_filenames(cfg.dataset)
+    assert len(datas) == 24
+    stems = [os.path.basename(f[0]).split("-")[-1].split(".")[0] for f in datas]
+    assert stems == [str(i) for i in range(24)]  # numeric, not lexical order
+    images, ts = load_images(cfg.dataset.test_dataset, datas[0])
+    assert len(images) == 3 and images[0].shape == (720, 1280, 3)
+
+
+def test_actors_gt_mat_reference_layout(mini):
+    """actorsGT.mat loads through the same accessor the reference uses
+    (`actor3D[0][a][f][0]` -> (14, 3))."""
+    from tpupose.eval.pcp import load_actors_gt_mat
+
+    actors = load_actors_gt_mat(mini["root"], "MiniCampus")
+    assert len(actors) == 2
+    assert len(actors[0]) == 24
+    assert np.asarray(actors[0][0]).shape == (14, 3)
+
+
+def test_replay_eval_cli_full_path(mini, capsys):
+    """Full eval CLI with --replay: the real code path minus the NN
+    forwards; zero-noise detections must score Average PCP 100."""
+    from tpupose.cli import evalmodel
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--replay", mini["dump"],
+    ])
+    out = capsys.readouterr().out
+    assert "Average PCP: 100.00" in out, out
+
+    pkl = os.path.join(mini["root"], "results", "MiniCampus", "logs",
+                       "YOLOv3_HRPose_Iterative_" +
+                       os.path.basename(mini["root"]) + ".pkl")
+    with open(pkl, "rb") as f:
+        preds = pickle.load(f)
+    assert set(range(5, 24)) <= set(preds)  # scored range present
+    assert preds[10].shape[1:] == (3, 17)   # reference (N, 3, 17) layout
+
+    track_jsons = glob.glob(
+        os.path.join(mini["root"], "results", "MiniCampus", "TrackResult",
+                     "Camera*.json")
+    )
+    assert len(track_jsons) == 3
+    with open(track_jsons[0]) as f:
+        cam = json.load(f)
+    some_frame = next(iter(cam["frames"].values()))
+    pose = some_frame["poses"][0]
+    assert len(pose["points_2d"]) == 17 and len(pose["points_2d"][0]) == 2
+    assert len(pose["scores"]) == 17
+
+
+def test_real_nn_eval_cli_full_path(mini, capsys):
+    """Full eval CLI through the REAL backend path: tiny fabricated
+    checkpoints load through the production converters (.weights / .pth),
+    images decode from disk, YOLO+HRNet run on them, the tracker and scorer
+    consume the results. Random weights give garbage accuracy — the test
+    asserts the pipeline executes every stage and produces well-formed
+    artifacts, which is exactly what the environment (no pretrained
+    weights) allows."""
+    if not mini.get("hrnet_checkpoint"):
+        pytest.skip("torch unavailable; cannot fabricate .pth")
+    from tpupose.cli import evalmodel
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+    ])
+    out = capsys.readouterr().out
+    assert "Average PCP" in out, out
+    assert "fps" in out
+
+
+def test_replay_dump_roundtrip(mini):
+    """dets -> reference dump format -> dets is exact."""
+    from tpupose.data.replay import (
+        dets_to_dump_frame,
+        dump_frame_to_dets,
+        load_detection_dump,
+    )
+
+    dump = load_detection_dump(mini["dump"])
+    dets, mask = dump_frame_to_dets(dump[3], num_cameras=3, max_dets=8)
+    rt = dets_to_dump_frame(dets, mask)
+    dets2, mask2 = dump_frame_to_dets(rt, num_cameras=3, max_dets=8)
+    np.testing.assert_allclose(dets, dets2, atol=1e-6)
+    np.testing.assert_array_equal(mask, mask2)
+    assert mask.sum() > 0
+
+
+def test_evaluate_pcp_validates_eval_range(mini):
+    """An EVAL_RANGE past the GT length must fail loudly up front, not
+    IndexError mid-eval."""
+    from tpupose.eval.pcp import evaluate_pcp, load_actors_gt_mat
+
+    actors = load_actors_gt_mat(mini["root"], "MiniCampus")
+    with pytest.raises(ValueError, match="EVAL_RANGE"):
+        evaluate_pcp([[5, 999]], {}, actors)

@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--config-dir", type=str, default="configs")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on the built-in synthetic scene (replay mode)")
+    parser.add_argument("--replay", type=str, default=None,
+                        help="cached 2D detections dump pickle (reference "
+                             "dump format); skips the NN backends")
     parser.add_argument("--frames", type=int, default=120)
     args = parser.parse_args(argv)
 
@@ -48,22 +51,46 @@ def main(argv=None):
         os.path.join(args.config_dir, args.dataset, "model_configs.yaml")
     )
     camera_parameter = load_camera_parameter(cfg)
-    source = dataset_frame_source(cfg)
-    # peek first frame for image size
-    first = next(source)
-    images0 = first[2]
-    pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2], images0.shape[1])
 
-    def chained():
-        yield first
-        yield from source
+    if args.replay:
+        from tpupose.data.config import tracker_config_from
+        from tpupose.data.replay import load_detection_dump, replay_frame_source
+        from tpupose.pipeline.facade import Pipeline
 
-    multi_poses3d, annotations = run_eval_loop(cfg, pipe, chained(), timer)
+        width, height = _probe_image_size(cfg)
+        cams = Pipeline.camera_set_from_parameter_dict(
+            camera_parameter, width, height,
+            num_cameras=len(cfg.dataset.folders_order),
+        )
+        tcfg = tracker_config_from(cfg, num_cameras=cams.num_cameras)
+        pipe = Pipeline(cams=cams, tracker_cfg=tcfg)
+        source = replay_frame_source(
+            cfg, load_detection_dump(args.replay), tcfg.max_dets,
+            tcfg.num_joints,
+        )
+        image_hw = (height, width)
+    else:
+        source = dataset_frame_source(cfg)
+        # peek first frame for image size
+        first = next(source)
+        images0 = first[2]
+        pipe = build_pipeline_real(
+            cfg, camera_parameter, images0.shape[2], images0.shape[1]
+        )
+        image_hw = (images0.shape[1], images0.shape[2])
+
+        def chained(first=first, source=source):
+            yield first
+            yield from source
+
+        source = chained()
+
+    multi_poses3d, annotations = run_eval_loop(cfg, pipe, source, timer)
 
     pkl = result_path(cfg)
     write_3d_result(multi_poses3d, pkl)
     write_2d_result(
-        (images0.shape[1], images0.shape[2]), annotations,
+        image_hw, annotations,
         save_dir=os.path.join(cfg.output, cfg.dataset.test_dataset, "TrackResult"),
     )
     if cfg.dataset.test_dataset == "Panoptic":
@@ -73,7 +100,21 @@ def main(argv=None):
             cfg.dataset.eval_range, pkl, cfg.dataset.root, cfg.dataset.test_dataset
         )
         print(res["table"])
+        print(f"Average PCP: {res['average'] * 100:.2f}")
     print(timer.report(num_views=len(cfg.dataset.folders_order)))
+
+
+def _probe_image_size(cfg):
+    """Image (width, height) from the first frame on disk, else a default
+    (replay runs may have no images at all)."""
+    try:
+        from tpupose.data.dataset import load_filenames, load_images
+
+        datas = load_filenames(cfg.dataset)
+        images, _ = load_images(cfg.dataset.test_dataset, datas[0])
+        return images[0].shape[1], images[0].shape[0]
+    except Exception:
+        return 1280, 720
 
 
 def _run_synthetic(args, timer):

@@ -57,6 +57,12 @@ def evaluate_pcp(eval_ranges, multi_poses3d, actors_gt, num_report_actors=3):
     """
     n_actors = len(actors_gt)
     n_frames = len(actors_gt[0])
+    for start, end in eval_ranges:
+        if not (0 <= start <= end <= n_frames):
+            raise ValueError(
+                f"EVAL_RANGE [{start}, {end}) outside GT frame range "
+                f"[0, {n_frames}) — actorsGT.mat holds {n_frames} frames"
+            )
     check = np.zeros((n_frames, n_actors, 10), np.int32)
 
     for start, end in eval_ranges:
@@ -93,7 +99,7 @@ def evaluate_pcp(eval_ranges, multi_poses3d, actors_gt, num_report_actors=3):
             [ratio(check[:, a, idx]) for a in range(n_actors)]
         )
 
-    k = num_report_actors
+    k = min(num_report_actors, n_actors)
     tb = Table(
         ["Bone Group"] + [f"Actor {i}" for i in range(k)] + ["Average"]
     )

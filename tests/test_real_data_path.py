@@ -126,3 +126,36 @@ def test_evaluate_pcp_validates_eval_range(mini):
     actors = load_actors_gt_mat(mini["root"], "MiniCampus")
     with pytest.raises(ValueError, match="EVAL_RANGE"):
         evaluate_pcp([[5, 999]], {}, actors)
+
+
+def test_native_loader_matches_pil_on_dataset(mini):
+    """The C++ FrameLoader path of dataset_frame_source must yield the same
+    frames/timestamps as the PIL fallback (both decode via libjpeg)."""
+    from tpupose.cli.common import dataset_frame_source
+    from tpupose.data.config import load_config
+    from tpupose.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    cfg = load_config(mini["yaml"])
+    native_frames = list(dataset_frame_source(cfg, use_native=True))
+    pil_frames = list(dataset_frame_source(cfg, use_native=False))
+    assert len(native_frames) == len(pil_frames) == 24
+    for (f1, t1, im1, _, _), (f2, t2, im2, _, _) in zip(
+        native_frames, pil_frames
+    ):
+        assert f1 == f2 and t1 == t2
+        assert im1.shape == im2.shape
+        # Same libjpeg underneath; allow a tiny IDCT tolerance anyway.
+        assert np.mean(np.abs(im1.astype(int) - im2.astype(int))) < 1.0
+
+
+def test_device_prefetch_preserves_stream(mini):
+    from tpupose.cli.common import dataset_frame_source, device_prefetch
+    from tpupose.data.config import load_config
+
+    cfg = load_config(mini["yaml"])
+    plain = list(dataset_frame_source(cfg, use_native=False))
+    pref = list(device_prefetch(dataset_frame_source(cfg, use_native=False)))
+    assert [p[0] for p in plain] == [p[0] for p in pref]
+    np.testing.assert_array_equal(np.asarray(pref[3][2]), plain[3][2])

@@ -68,7 +68,38 @@ def hrnet_config_from(cfg: Config):
     )
 
 
-def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer):
+def device_prefetch(frame_source, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    `jax.device_put` is asynchronous: issuing the NEXT frame's transfer
+    before consuming the current one hides the per-transfer latency
+    (~20 ms RTT through the dev relay — docs/PERF.md) behind the current
+    frame's compute. Works for both image frames and replay detections.
+    """
+    import collections
+
+    import jax
+
+    def put(item):
+        frame_id, timestamp, images, dets, mask = item
+        if images is not None:
+            images = jax.device_put(np.ascontiguousarray(images))
+        if dets is not None:
+            dets = jax.device_put(np.asarray(dets))
+            mask = jax.device_put(np.asarray(mask))
+        return frame_id, timestamp, images, dets, mask
+
+    queue = collections.deque()
+    for item in frame_source:
+        queue.append(put(item))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer,
+                  prefetch: bool = True):
     """Per-frame loop accumulating 3D predictions and 2D annotations.
 
     frame_source yields (frame_id, timestamp, images|None, dets|None, mask|None).
@@ -79,6 +110,8 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer):
     """
     import jax
 
+    if prefetch:
+        frame_source = device_prefetch(frame_source)
     outs = []
     keys = []
     frame_ids = []
@@ -111,9 +144,37 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer):
     return multi_poses3d, annotations
 
 
-def dataset_frame_source(cfg: Config):
+def dataset_frame_source(cfg: Config, use_native: bool = True):
+    """Frames from disk; decodes through the C++ prefetching FrameLoader
+    (worker threads decode ahead, overlapping host I/O with device compute —
+    `tpupose/runtime/loader.cc`) when the files are JPEGs and the native
+    runtime is available, with a sequential PIL fallback otherwise."""
+    from tpupose.data.dataset import parse_timestamp
+
     datas = load_filenames(cfg.dataset)
     start, end = cfg.dataset.test_range
+    frame_paths = datas[start:end]
+    if not frame_paths:
+        return
+
+    is_jpeg = frame_paths[0][0].lower().endswith((".jpg", ".jpeg"))
+    if use_native and is_jpeg:
+        from tpupose.runtime import native
+
+        if native.available():
+            loader = native.FrameLoader(frame_paths, prefetch=4, threads=2)
+            try:
+                for frame_id, paths, images in zip(
+                    range(start, end), frame_paths, loader
+                ):
+                    timestamp = parse_timestamp(
+                        cfg.dataset.test_dataset, paths[0]
+                    )
+                    yield frame_id, timestamp, images, None, None
+            finally:
+                loader.close()
+            return
+
     for frame_id in range(start, end):
         images, timestamp = load_images(cfg.dataset.test_dataset, datas[frame_id])
         yield frame_id, timestamp, np.stack(images), None, None

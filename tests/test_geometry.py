@@ -139,3 +139,40 @@ def test_line_point_distance(rig):
     pts = jnp.array([[5.0, 3.0, 0.0], [2.0, 0.0, 4.0]])
     d = line_point_distance_3d(origin, direction, pts)
     np.testing.assert_allclose(np.asarray(d), [3.0, 4.0], atol=1e-6)
+
+
+def test_adj4x4_and_smallest_eigvec():
+    """Closed-form adjugate inverse-iteration vs LAPACK eigh on DLT-like
+    normal matrices (the production triangulation path)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpupose.geometry.triangulation import (
+        _smallest_eigvec_4x4,
+        adj4x4,
+        inv4x4,
+    )
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(20, 4, 4))
+    np.testing.assert_allclose(
+        np.asarray(inv4x4(jnp.asarray(A))), np.linalg.inv(A), rtol=1e-4,
+        atol=1e-5,
+    )
+    adj, det = adj4x4(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(det), np.linalg.det(A), rtol=1e-4)
+
+    # DLT regime: one near-null direction.
+    for i in range(50):
+        rows = rng.normal(size=(8, 4))
+        null = rng.normal(size=4)
+        null /= np.linalg.norm(null)
+        rows -= np.outer(rows @ null, null) * (1 - 1e-4)
+        M = rows.T @ rows
+        _, vecs = np.linalg.eigh(M)
+        got = np.asarray(_smallest_eigvec_4x4(jnp.asarray(M[None]))[0])
+        assert abs(got @ vecs[:, 0]) > 1 - 1e-5
+
+    # Fully masked joint (all-zero normal matrix) must stay finite.
+    z = np.asarray(_smallest_eigvec_4x4(jnp.zeros((1, 4, 4))))
+    assert np.isfinite(z).all()

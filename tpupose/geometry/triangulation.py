@@ -43,10 +43,117 @@ def dlt_design_rows(P, poses_xy, weights):
     return rows
 
 
-def _smallest_eigvec_4x4(M):
-    """Eigenvector of the smallest eigenvalue for batched symmetric (…,4,4)."""
-    w, v = jnp.linalg.eigh(M)
-    return v[..., :, 0]
+def adj4x4(m):
+    """Closed-form adjugate (and determinant) for batched (..., 4, 4).
+
+    adj(M) = det(M) * M^-1 without the division: for a DLT normal matrix
+    with one near-zero eigenvalue, adj(M) ~= (l2*l3*l4) * v1 v1^T is RANK-1
+    dominated by exactly the null direction we want, and — unlike the
+    inverse — involves no division by a catastrophically-cancelling f32
+    determinant. Pure elementwise arithmetic, VPU-vectorized across the
+    whole (tracks x joints) batch (vs ~1 ms/frame of `eigh` custom calls,
+    docs/PERF.md).
+
+    Returns (adj, det).
+    """
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]; d = m[..., 0, 3]
+    e = m[..., 1, 0]; f = m[..., 1, 1]; g = m[..., 1, 2]; h = m[..., 1, 3]
+    i = m[..., 2, 0]; j = m[..., 2, 1]; k = m[..., 2, 2]; l = m[..., 2, 3]
+    mm = m[..., 3, 0]; n = m[..., 3, 1]; o = m[..., 3, 2]; p = m[..., 3, 3]
+
+    kp_lo = k * p - l * o
+    jp_ln = j * p - l * n
+    jo_kn = j * o - k * n
+    ip_lm = i * p - l * mm
+    io_km = i * o - k * mm
+    in_jm = i * n - j * mm
+
+    c00 = f * kp_lo - g * jp_ln + h * jo_kn
+    c01 = -(e * kp_lo - g * ip_lm + h * io_km)
+    c02 = e * jp_ln - f * ip_lm + h * in_jm
+    c03 = -(e * jo_kn - f * io_km + g * in_jm)
+
+    det = a * c00 + b * c01 + c * c02 + d * c03
+
+    c10 = -(b * kp_lo - c * jp_ln + d * jo_kn)
+    c11 = a * kp_lo - c * ip_lm + d * io_km
+    c12 = -(a * jp_ln - b * ip_lm + d * in_jm)
+    c13 = a * jo_kn - b * io_km + c * in_jm
+
+    gp_ho = g * p - h * o
+    fp_hn = f * p - h * n
+    fo_gn = f * o - g * n
+    ep_hm = e * p - h * mm
+    eo_gm = e * o - g * mm
+    en_fm = e * n - f * mm
+
+    c20 = b * gp_ho - c * fp_hn + d * fo_gn
+    c21 = -(a * gp_ho - c * ep_hm + d * eo_gm)
+    c22 = a * fp_hn - b * ep_hm + d * en_fm
+    c23 = -(a * fo_gn - b * eo_gm + c * en_fm)
+
+    gl_hk = g * l - h * k
+    fl_hj = f * l - h * j
+    fk_gj = f * k - g * j
+    el_hi = e * l - h * i
+    ek_gi = e * k - g * i
+    ej_fi = e * j - f * i
+
+    c30 = -(b * gl_hk - c * fl_hj + d * fk_gj)
+    c31 = a * gl_hk - c * el_hi + d * ek_gi
+    c32 = -(a * fl_hj - b * el_hi + d * ej_fi)
+    c33 = a * fk_gj - b * ek_gi + c * ej_fi
+
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20, c30], axis=-1),
+            jnp.stack([c01, c11, c21, c31], axis=-1),
+            jnp.stack([c02, c12, c22, c32], axis=-1),
+            jnp.stack([c03, c13, c23, c33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj, det
+
+
+def inv4x4(m):
+    """Closed-form cofactor inverse for batched (..., 4, 4) matrices."""
+    adj, det = adj4x4(m)
+    det = jnp.where(det == 0.0, 1e-30, det)
+    return adj / det[..., None, None]
+
+
+def _smallest_eigvec_4x4(M, iters: int = 3):
+    """Eigenvector of the smallest eigenvalue for batched symmetric PSD
+    (..., 4, 4) via adjugate-matvec inverse iteration.
+
+    Each step multiplies by adj(M') ~ det * M'^-1 — same direction as
+    inverse iteration (normalization absorbs the determinant, sign is
+    irrelevant after dehomogenization) with none of the f32 cancellation a
+    near-singular determinant division suffers. DLT normal matrices have
+    lambda_min << lambda_2 by construction, so convergence is essentially
+    one step; extra steps cover degenerate geometry. The matrix is
+    pre-scaled to unit trace (direction-invariant) to keep cofactor
+    magnitudes in f32 range, and regularized by eps*trace so exactly
+    singular/all-masked systems stay finite.
+    """
+    tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2] + M[..., 3, 3]
+    scale = jnp.where(tr > 0, tr, 1.0)[..., None, None]
+    Mn = M / scale + 1e-7 * jnp.eye(4, dtype=M.dtype)
+    adj, _ = adj4x4(Mn)
+    # Start from the adjugate's largest column — already inside its dominant
+    # eigenspace, so a near-orthogonal start cannot stall the iteration.
+    col_norm2 = jnp.sum(adj * adj, axis=-2)
+    v = jnp.take_along_axis(
+        adj, jnp.argmax(col_norm2, axis=-1)[..., None, None], axis=-1
+    )[..., 0]
+    v = v + jnp.where(
+        jnp.linalg.norm(v, axis=-1, keepdims=True) < 1e-30, 1.0, 0.0
+    )  # all-zero adj (fully masked joint): any vector; fallback replaces it
+    for _ in range(iters):
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-30)
+        v = jnp.einsum("...ij,...j->...i", adj, v)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-30)
 
 
 def triangulate_joints(P, poses_xy, view_weights, keep_mask, fallback=None,

@@ -7,9 +7,11 @@ decoding"). The pure-XLA decode (`tpupose.ops.heatmap.decode_heatmaps`)
 re-reads the heatmap tensor for max, argmax and the neighbor gathers; this
 kernel reads it once.
 
-Layout: heatmaps arrive as (N, Hh, Wh, J) from the conv head and are
-transposed to (N, J, Hh, Wh) so the reduction lanes are the W dimension
-(J=17 would waste 111 of 128 lanes). Grid is one program per crop.
+Mosaic notes: everything is kept rank >= 2 ((J, H), (J, W), (J, 1) shapes —
+rank-1 intermediates trip TPU layout assignment), argmax is expressed as
+masked iota-min (first row achieving the max, then first column within that
+row — exactly XLA argmax's row-major tie-breaking), and the four neighbor
+reads become masked reductions instead of rolls.
 """
 from __future__ import annotations
 
@@ -22,40 +24,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_kernel(h_ref, out_ref, *, refine: bool):
-    x = h_ref[0]  # (J, H, W)
+    x = h_ref[0].astype(jnp.float32)  # (J, H, W)
     j, hh, wh = x.shape
-    score = jnp.max(x, axis=(1, 2))  # (J,)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (j, hh, wh), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (j, hh, wh), 2)
-    lin = row_ids * wh + col_ids
-    is_peak = x >= score[:, None, None]
-    first = jnp.min(jnp.where(is_peak, lin, hh * wh), axis=(1, 2))  # (J,)
-    py = (first // wh).astype(jnp.float32)
-    px = (first % wh).astype(jnp.float32)
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (j, hh), 1)  # (J, H)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (j, wh), 1)  # (J, W)
+
+    rowmax = jnp.max(x, axis=2)  # (J, H)
+    # Two-stage reduction: a single multi-axis reduce trips Mosaic layout
+    # assignment on TPU (rank-1 implicit-dim check).
+    score = jnp.max(rowmax, axis=1, keepdims=True)  # (J, 1)
+    py = jnp.min(
+        jnp.where(rowmax >= score, h_iota, hh), axis=1, keepdims=True
+    )  # (J, 1) first row holding the global max
+    row_mask = (h_iota == py).astype(jnp.float32)  # (J, H)
+    x_at_py = jnp.sum(x * row_mask[:, :, None], axis=1)  # (J, W)
+    px = jnp.min(
+        jnp.where(x_at_py >= score, w_iota, wh), axis=1, keepdims=True
+    )  # (J, 1) first column in that row
+
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
 
     if refine:
-        onehot = lin == first[:, None, None]
+        col_mask = (w_iota == px).astype(jnp.float32)  # (J, W)
+        x_at_px = jnp.sum(x * col_mask[:, None, :], axis=2)  # (J, H)
 
-        def peak_neighbor(dy, dx):
-            # pltpu.roll needs non-negative shifts: roll(-d) == roll(S - d).
-            shifted = x
-            if dy:
-                shifted = pltpu.roll(shifted, (-dy) % hh, 1)
-            if dx:
-                shifted = pltpu.roll(shifted, (-dx) % wh, 2)
-            return jnp.sum(jnp.where(onehot, shifted, 0.0), axis=(1, 2))
+        def pick(vals, iota, idx):
+            sel = (iota == idx).astype(jnp.float32)
+            return jnp.sum(vals * sel, axis=1, keepdims=True)  # (J, 1)
 
-        right = peak_neighbor(0, 1)
-        left = peak_neighbor(0, -1)
-        up = peak_neighbor(1, 0)
-        down = peak_neighbor(-1, 0)
-        interior = (px >= 1) & (px < wh - 1) & (py >= 1) & (py < hh - 1)
-        px = px + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
-        py = py + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)
+        right = pick(x_at_py, w_iota, px + 1)
+        left = pick(x_at_py, w_iota, px - 1)
+        up = pick(x_at_px, h_iota, py + 1)
+        down = pick(x_at_px, h_iota, py - 1)
+        interior = (
+            (px >= 1) & (px < wh - 1) & (py >= 1) & (py < hh - 1)
+        )
+        pxf = pxf + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
+        pyf = pyf + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)
 
-    out_ref[0, :, 0] = px
-    out_ref[0, :, 1] = py
-    out_ref[0, :, 2] = score
+    out_ref[0] = jnp.concatenate([pxf, pyf, score], axis=1)  # (J, 3)
 
 
 def decode_heatmaps_pallas(heat, boxes, refine=True, interpret=False):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from tpupose.geometry import CameraSet
 from tpupose.models.hrnet import HRNetConfig, hrnet_apply, normalize_image
 from tpupose.models.yolov3 import YoloConfig, detect_people
-from tpupose.ops.heatmap import decode_heatmaps, expand_box_to_aspect
+from tpupose.ops.heatmap import decode_heatmaps_auto, expand_box_to_aspect
 from tpupose.ops.image import crop_and_resize, resize_bilinear
 from tpupose.tracking.tracker import TrackerConfig, tracker_step
 
@@ -48,7 +48,7 @@ def make_multistream_clip_fn(det_cfg: YoloConfig, pose_cfg: HRNetConfig,
         )(x * 255.0, eboxes.reshape(s * f * c, k, 4))
         crops = normalize_image(crops.reshape(s * f * c * k, in_h, in_w, 3))
         heat = hrnet_apply(pose_params, pose_cfg, crops)
-        kps = decode_heatmaps(heat, eboxes)
+        kps = decode_heatmaps_auto(heat, eboxes)
         kps = kps.reshape(s, f, c, k, pose_cfg.num_joints, 3)
         valid = valid.reshape(s, f, c, k)
         d = tcfg.max_dets

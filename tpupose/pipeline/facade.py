@@ -26,7 +26,7 @@ import numpy as np
 from tpupose.geometry import CameraSet, make_camera_set
 from tpupose.models.hrnet import HRNetConfig, hrnet_apply, normalize_image
 from tpupose.models.yolov3 import YoloConfig, detect_people
-from tpupose.ops.heatmap import decode_heatmaps, expand_box_to_aspect
+from tpupose.ops.heatmap import decode_heatmaps_auto, expand_box_to_aspect
 from tpupose.ops.image import crop_and_resize, resize_bilinear
 from tpupose.tracking.tracker import (
     FrameOutput,
@@ -35,6 +35,39 @@ from tpupose.tracking.tracker import (
     init_state,
     tracker_step,
 )
+
+
+def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
+    """Batched detect -> crop -> pose -> decode for N images, padded to the
+    tracker's MAX_DETS. Shared by the fused clip program and the stage-A-only
+    path so the two can never drift.
+
+    Args:
+      images: (N, H, W, 3) uint8/float RGB.
+    Returns:
+      dets: (N, D, J, 3) (x, y, score); mask: (N, D) bool.
+    """
+    in_h, in_w = pose_cfg.input_size
+    n, h, w, _ = images.shape
+    x = images.astype(jnp.float32) / 255.0
+    s = det_cfg.input_size
+    ximg = resize_bilinear(x, (s, s))
+    boxes, scores, valid = detect_people(det_params, det_cfg, ximg, (h, w))
+    k = boxes.shape[1]
+    eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
+    crops = jax.vmap(
+        lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
+    )(x * 255.0, eboxes.reshape(n, k, 4))
+    crops = normalize_image(crops.reshape(n * k, in_h, in_w, 3))
+    heat = hrnet_apply(pose_params, pose_cfg, crops)
+    kps = decode_heatmaps_auto(heat, eboxes)
+    kps = kps.reshape(n, k, pose_cfg.num_joints, 3)
+    d = tcfg.max_dets
+    if k >= d:
+        return kps[:, :d], valid[:, :d]
+    dets = jnp.zeros((n, d, tcfg.num_joints, 3)).at[:, :k].set(kps)
+    mask = jnp.zeros((n, d), bool).at[:, :k].set(valid)
+    return dets, mask
 
 
 @dataclasses.dataclass
@@ -113,7 +146,7 @@ class Pipeline:
                 )(images.astype(jnp.float32), eboxes.reshape(c, k, 4))
                 crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
                 heat = hrnet_apply(params, pose_cfg, crops)
-                kps = decode_heatmaps(heat, eboxes)
+                kps = decode_heatmaps_auto(heat, eboxes)
                 return kps.reshape(c, k, pose_cfg.num_joints, 3)
 
             self._pose_fn = fn
@@ -162,7 +195,7 @@ class Pipeline:
                 )(x * 255.0, eboxes)
                 crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
                 heat = hrnet_apply(pose_params, pose_cfg, crops)
-                kps = decode_heatmaps(heat, eboxes.reshape(-1, 4))
+                kps = decode_heatmaps_auto(heat, eboxes.reshape(-1, 4))
                 kps = kps.reshape(c, k, pose_cfg.num_joints, 3)
                 # pad/trim detections to the tracker's MAX_DETS
                 d = tcfg.max_dets
@@ -183,6 +216,37 @@ class Pipeline:
 
     # -- two-stage clip mode ----------------------------------------------------
 
+    def process_clip_nn(self, clip_images):
+        """Stage A only: batched YOLO+HRNet detections for a whole clip.
+
+        Returns ((F, C, D, J, 3) detections, (F, C, D) mask) on device —
+        the input the scanned tracker (stage B) consumes. Used by the
+        throughput benchmark to time the NN and tracker stages separately
+        (the tracker's cost is data-dependent, so it is benched on
+        realistic detections rather than the random-frame garbage this
+        stage produces from random weights).
+        """
+        if getattr(self, "_clip_nn_fn", None) is None:
+            det_cfg, pose_cfg, tcfg = self.det_cfg, self.pose_cfg, self.tracker_cfg
+
+            @jax.jit
+            def fn(det_params, pose_params, clip):
+                f, c, h, w, _ = clip.shape
+                dets, mask = _clip_detections(
+                    det_cfg, pose_cfg, tcfg, det_params, pose_params,
+                    clip.reshape(f * c, h, w, 3),
+                )
+                k = dets.shape[1]
+                return (
+                    dets.reshape(f, c, k, tcfg.num_joints, 3),
+                    mask.reshape(f, c, k),
+                )
+
+            self._clip_nn_fn = fn
+        return self._clip_nn_fn(
+            self.det_params, self.pose_params, jnp.asarray(clip_images)
+        )
+
     def process_clip(self, frame_ids, clip_images):
         """Batched-NN + scanned-tracker clip pipeline (throughput mode).
 
@@ -202,35 +266,17 @@ class Pipeline:
         """
         if getattr(self, "_clip_fn", None) is None:
             det_cfg, pose_cfg, tcfg = self.det_cfg, self.pose_cfg, self.tracker_cfg
-            in_h, in_w = pose_cfg.input_size
 
             @partial(jax.jit, donate_argnums=(3,))
             def fn(det_params, pose_params, cams, state, clip, frame_ids):
                 f, c, h, w, _ = clip.shape
-                x = clip.reshape(f * c, h, w, 3).astype(jnp.float32) / 255.0
-                s = det_cfg.input_size
-                ximg = resize_bilinear(x, (s, s))
-                boxes, scores, valid = detect_people(
-                    det_params, det_cfg, ximg, (h, w)
-                )  # (F*C, K, ...)
-                k = boxes.shape[1]
-                eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
-                crops = jax.vmap(
-                    lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
-                )(x * 255.0, eboxes.reshape(f * c, k, 4))
-                crops = normalize_image(crops.reshape(f * c * k, in_h, in_w, 3))
-                heat = hrnet_apply(pose_params, pose_cfg, crops)
-                kps = decode_heatmaps(heat, eboxes)
-                kps = kps.reshape(f, c, k, pose_cfg.num_joints, 3)
-                valid = valid.reshape(f, c, k)
-                d = tcfg.max_dets
-                if k >= d:
-                    dets, mask = kps[:, :, :d], valid[:, :, :d]
-                else:
-                    dets = jnp.zeros((f, c, d, tcfg.num_joints, 3)).at[
-                        :, :, :k
-                    ].set(kps)
-                    mask = jnp.zeros((f, c, d), bool).at[:, :, :k].set(valid)
+                dets, mask = _clip_detections(
+                    det_cfg, pose_cfg, tcfg, det_params, pose_params,
+                    clip.reshape(f * c, h, w, 3),
+                )
+                d = dets.shape[1]
+                dets = dets.reshape(f, c, d, tcfg.num_joints, 3)
+                mask = mask.reshape(f, c, d)
 
                 def body(st, xs):
                     dd, mm, fid = xs

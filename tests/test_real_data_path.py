@@ -159,3 +159,46 @@ def test_device_prefetch_preserves_stream(mini):
     pref = list(device_prefetch(dataset_frame_source(cfg, use_native=False)))
     assert [p[0] for p in plain] == [p[0] for p in pref]
     np.testing.assert_array_equal(np.asarray(pref[3][2]), plain[3][2])
+
+
+def test_panoptic_replay_eval_cli_full_path(tmp_path, capsys):
+    """Full eval CLI on a fabricated MiniPanoptic: timestamp-keyed
+    predictions, every-12th-frame GT jsons, AP/Recall/MPJPE table. With
+    zero-noise replay detections and GT placed after tracker warm-up, AP@25
+    must be 100 and MPJPE ~0."""
+    from tpupose.cli import evalmodel
+    from tpupose.data.fabricate import fabricate_mini_panoptic
+
+    cfg_path, paths = fabricate_mini_panoptic(tmp_path / "minipanoptic")
+    evalmodel.main([
+        "--dataset", "Panoptic", "--config-dir", paths["config_dir"],
+        "--replay", paths["dump"],
+    ])
+    out = capsys.readouterr().out
+    assert "MPJPE" in out, out
+    import re
+
+    m = re.search(r"MPJPE: ([0-9.]+)mm", out)
+    assert m and float(m.group(1)) < 20.0, out
+    ap_row = [ln for ln in out.splitlines() if "AP" in ln][0]
+    assert "100.00" in ap_row, out
+
+
+def test_panoptic_gt_loader_roundtrip(tmp_path):
+    """The fabricated GT jsons invert the loader's axis swap + scaling
+    exactly (loader output == coco2panoptic14(gt3d) in mm)."""
+    import numpy as np
+
+    from tpupose.data.fabricate import fabricate_mini_panoptic
+    from tpupose.data.synthetic import make_scene
+    from tpupose.eval.panoptic import load_panoptic_gt
+    from tpupose.eval.transforms import coco2panoptic14
+
+    scene = make_scene(num_frames=24, num_cameras=3, num_actors=2,
+                       noise_px=0.0, seed=0)
+    _, paths = fabricate_mini_panoptic(tmp_path / "mp", scene=scene)
+    gts = load_panoptic_gt(paths["root"])
+    assert set(gts) == {5, 17}  # every 12th file from gt_start=5
+    got = gts[5]["joints_3d"][0]
+    want = coco2panoptic14(scene.gt3d[5, 0].T) * 1000.0
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -209,6 +209,117 @@ def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
     return cfg_path, paths
 
 
+def fabricate_mini_panoptic(root, scene=None, num_frames=24, seed=0,
+                            gt_start=5, image_format="jpg"):
+    """Mini-dataset in the CMU Panoptic layout: timestamped frame names
+    (`hd_00_XX_<t:08d>.jpg` — timestamp parsed from the last `_` suffix,
+    `src/dataset.py:37-40`), `hdPose3d_stage1_coco19/body3DScene_*.json` GT
+    (every 12th file scored, axis-swap + cm scaling inverted so the loader
+    reproduces our 3D GT exactly — `src/evalmodel.py:212-248`), calibration
+    pickle and a replay dump. Returns (config_path, paths)."""
+    import json
+
+    import yaml
+
+    from tpupose.data.replay import dets_to_dump_frame, save_detection_dump
+    from tpupose.data.synthetic import make_scene
+    from tpupose.eval.panoptic import GT_AXES_M
+    from tpupose.eval.transforms import coco2panoptic14
+
+    if scene is None:
+        scene = make_scene(num_frames=num_frames, num_cameras=3, num_actors=2,
+                           noise_px=0.0, drop_prob=0.0, seed=seed)
+    root = str(root)
+    os.makedirs(root, exist_ok=True)
+    folders = [f"00_{c:02d}" for c in range(scene.num_cameras)]
+    for c, folder in enumerate(folders):
+        d = os.path.join(root, folder)
+        os.makedirs(d, exist_ok=True)
+        for t in range(scene.num_frames):
+            from PIL import Image
+
+            img = render_frame(scene.gt2d[t, c], scene.visible[t, c],
+                               scene.width, scene.height)
+            Image.fromarray(img).save(
+                os.path.join(d, f"hd_00_{c:02d}_{t:08d}.{image_format}")
+            )
+
+    with open(os.path.join(root, "camera_parameter.pickle"), "wb") as f:
+        pickle.dump({"P": scene.P, "K": scene.K, "RT": scene.RT}, f)
+
+    # GT jsons: file list starts at gt_start so the every-12th-file rule
+    # lands on post-warmup timestamps (gt_start, gt_start+12, ...).
+    anno = os.path.join(root, "hdPose3d_stage1_coco19")
+    os.makedirs(anno, exist_ok=True)
+    Minv = GT_AXES_M.T  # orthogonal
+    for t in range(gt_start, scene.num_frames):
+        bodies = []
+        for a in range(scene.num_actors):
+            p14_mm = coco2panoptic14(scene.gt3d[t, a].T) * 1000.0
+            raw = (p14_mm / 10.0) @ Minv  # loader: raw @ M * 10 -> mm
+            j19 = np.zeros((19, 4))
+            j19[1:15, :3] = raw
+            j19[:, 3] = 1.0
+            j19[0, :3] = raw[0]
+            j19[15:, :3] = raw[0]
+            bodies.append({"id": a, "joints19": j19.ravel().tolist()})
+        with open(os.path.join(anno, f"body3DScene_{t:08d}.json"), "w") as f:
+            json.dump({"version": 0.7, "univTime": float(t), "bodies": bodies}, f)
+
+    dump = {}
+    for t in range(scene.num_frames):
+        dets = np.zeros((scene.num_cameras, 8, 17, 3), np.float32)
+        mask = np.zeros((scene.num_cameras, 8), bool)
+        for c, d in enumerate(scene.detections_list(t)):
+            n = min(len(d), 8)
+            dets[c, :n] = d[:n]
+            mask[c, :n] = True
+        dump[t] = dets_to_dump_frame(dets, mask)
+    dump_path = os.path.join(root, "detections_dump.pkl")
+    save_detection_dump(dump_path, dump)
+
+    cfg = {
+        "TEST_FUNCTION": "PersonTrack_Project3DPose",
+        "PIPELINE_COMBINATION": {
+            "DETECT_MODEL": "YOLOv3",
+            "POSE_MODEL": "HRPose",
+            "PERSON_MATCHER": "Iterative",
+            "BUILD_3D": "SVD",
+            "CONF_THRESHOLD": 0.4,
+        },
+        "DATASET": {
+            "TEST_DATASET": "Panoptic",
+            "ROOT": root,
+            "FOLDERS_ORDER": folders,
+            "CALIBRATION_FILE": "camera_parameter.pickle",
+            "DATA_FORMAT": f"*.{image_format}",
+            "TEST_RANGE": [0, scene.num_frames],
+            "EVAL_RANGE": [[0, scene.num_frames]],
+        },
+        "DETECT_MODELS": {"YOLOV3": {"NAME": "YOLOv3", "WEIGHT": ""}},
+        "POSE_MODELS": {"HRPOSE": {"NAME": "HRPose", "C": 8}},
+        "PERSON_MATCHERS": {
+            "ITERATIVE": {
+                "NAME": "Iterative", "EPI_THRESHOLD": 25, "INIT_THRESHOLD": 15,
+                "JOINT_THRESHOLD": 15, "NUM_JOINTS": 17, "INIT_METHOD": "GD",
+                "N_INIT": 3, "MAX_AGE": 10, "W2D": 0.4, "ALPHA2D": 30,
+                "W3D": 0.6, "ALPHA3D": 0.25, "LAMBDA_A": 3, "LAMBDA_T": 5,
+                "SIGMA": 0.6, "ARM_SIGMA": 0.8,
+            },
+        },
+        "OUTPUT": os.path.join(root, "results"),
+    }
+    cfg_dir = os.path.join(root, "configs", "Panoptic")
+    os.makedirs(cfg_dir, exist_ok=True)
+    cfg_path = os.path.join(cfg_dir, "model_configs.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path, {
+        "root": root, "dump": dump_path, "yaml": cfg_path,
+        "config_dir": os.path.join(root, "configs"),
+    }
+
+
 def _fabricate_tiny_weights(root):
     """Random tiny checkpoints in REAL converted formats (.weights / .pth)."""
     import jax

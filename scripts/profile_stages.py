@@ -20,15 +20,19 @@ import numpy as np
 
 
 def bench_fn(fn, args, n=5, vary=None):
+    import jax
     import jax.numpy as jnp
 
-    out = fn(*args)
-    float(jnp.sum(jnp.asarray(out[0] if isinstance(out, (tuple, list)) else out).astype(jnp.float32)))
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+
+    sync(fn(*args))
     t0 = time.perf_counter()
     for i in range(1, n + 1):
         a = vary(args, i) if vary else args
         out = fn(*a)
-    float(jnp.sum(jnp.asarray(out[0] if isinstance(out, (tuple, list)) else out).astype(jnp.float32)))
+    sync(out)
     return (time.perf_counter() - t0) / n
 
 

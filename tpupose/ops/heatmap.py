@@ -25,25 +25,46 @@ def decode_heatmaps(heat, boxes, refine=True):
       (N, J, 3) keypoints (x_img, y_img, score).
     """
     n, hh, wh, j = heat.shape
-    flat = heat.reshape(n, hh * wh, j)
-    idx = jnp.argmax(flat, axis=1)  # (N, J)
-    score = jnp.max(flat, axis=1)
-    py = (idx // wh).astype(jnp.float32)
-    px = (idx % wh).astype(jnp.float32)
+    # TPU-shaped argmax: NO flat (N, Hh*Wh, J) reshape (the cross-tile
+    # relayout made a single flat max cost ~55 ms/640 crops on v5e vs ~3 ms
+    # for two-stage reductions) and NO advanced-index gathers for the
+    # neighbors (4 pointwise gathers serialized to ~100 ms/clip — gathers
+    # are poison, docs/PERF.md). Row-major argmax semantics are preserved
+    # exactly: first row holding the global max, then first column within
+    # that row == first flattened index.
+    rowmax = jnp.max(heat, axis=2)  # (N, Hh, J)
+    score = jnp.max(rowmax, axis=1)  # (N, J)
+    h_iota = jnp.arange(hh, dtype=jnp.int32)
+    w_iota = jnp.arange(wh, dtype=jnp.int32)
+    # argmax ties break to the FIRST index, so argmax(rowmax) then
+    # argmax(row content) reproduces flat row-major argmax exactly.
+    yi = jnp.argmax(rowmax, axis=1).astype(jnp.int32)  # (N, J)
+    row_onehot = h_iota[None, :, None] == yi[:, None, :]  # (N, Hh, J)
+    x_at_py = jnp.sum(
+        jnp.where(row_onehot[:, :, None, :], heat, 0.0), axis=1
+    )  # (N, Wh, J)
+    xi = jnp.argmax(x_at_py, axis=1).astype(jnp.int32)  # (N, J)
+    py = yi.astype(jnp.float32)
+    px = xi.astype(jnp.float32)
 
     if refine:
-        xi = jnp.clip(idx % wh, 1, wh - 2)
-        yi = jnp.clip(idx // wh, 1, hh - 2)
-        bidx = jnp.arange(n)[:, None]
-        jidx = jnp.arange(j)[None, :]
-        right = heat[bidx, yi, xi + 1, jidx]
-        left = heat[bidx, yi, xi - 1, jidx]
-        up = heat[bidx, yi + 1, xi, jidx]
-        down = heat[bidx, yi - 1, xi, jidx]
+        col_onehot = w_iota[None, :, None] == xi[:, None, :]  # (N, Wh, J)
+        x_at_px = jnp.sum(
+            jnp.where(col_onehot[:, None, :, :], heat, 0.0), axis=2
+        )  # (N, Hh, J)
+
+        def pick(vals, iota, pos):
+            sel = iota[None, :, None] == pos[:, None, :]
+            return jnp.sum(jnp.where(sel, vals, 0.0), axis=1)  # (N, J)
+
+        right = pick(x_at_py, w_iota, xi + 1)
+        left = pick(x_at_py, w_iota, xi - 1)
+        up = pick(x_at_px, h_iota, yi + 1)
+        down = pick(x_at_px, h_iota, yi - 1)
         # Official HRNet refines only when the peak is strictly interior in
         # BOTH axes (1 < p < size-1 check in the official inference code).
-        in_x = ((idx % wh) >= 1) & ((idx % wh) < wh - 1)
-        in_y = ((idx // wh) >= 1) & ((idx // wh) < hh - 1)
+        in_x = (xi >= 1) & (xi < wh - 1)
+        in_y = (yi >= 1) & (yi < hh - 1)
         interior = in_x & in_y
         px = px + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
         py = py + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)

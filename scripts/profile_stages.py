@@ -72,8 +72,12 @@ def main():
         x = u8.astype(jnp.float32) / 255.0
         return resize_bilinear(x, (det_cfg.input_size, det_cfg.input_size))
 
+    def record(name, t):
+        results[name] = t
+        print(f"{name:28s} {t * 1e3:10.2f} ms/clip", flush=True)
+
     t = bench_fn(stage_image, (imgs,), vary=lambda a, i: (a[0] + np.uint8(i),))
-    results["image(resize416 x160)"] = t
+    record("image(resize416 x160)", t)
 
     ximg = stage_image(imgs)
 
@@ -83,7 +87,7 @@ def main():
 
     t = bench_fn(stage_yolo, (ximg,),
                  vary=lambda a, i: (a[0] + np.float32(i) * 1e-6,))
-    results["yolo(160 imgs)"] = t
+    record("yolo(160 imgs)", t)
 
     boxes, scores, valid = stage_yolo(ximg)
 
@@ -99,7 +103,7 @@ def main():
 
     t = bench_fn(stage_crop, (imgs, boxes),
                  vary=lambda a, i: (a[0] + np.uint8(i), a[1]))
-    results["crop(640)"] = t
+    record("crop(640)", t)
 
     crops, eboxes = stage_crop(imgs, boxes)
 
@@ -109,7 +113,7 @@ def main():
 
     t = bench_fn(stage_hrnet, (crops,),
                  vary=lambda a, i: (a[0] + np.float32(i) * 1e-6,))
-    results["hrnet(640 crops)"] = t
+    record("hrnet(640 crops)", t)
 
     heat = stage_hrnet(crops)
 
@@ -119,7 +123,7 @@ def main():
 
     t = bench_fn(stage_decode, (heat, eboxes),
                  vary=lambda a, i: (a[0] + np.float32(i) * 1e-6, a[1]))
-    results["decode(640)"] = t
+    record("decode(640)", t)
 
     adv = make_adversarial_scene(num_frames=F, num_cameras=C, num_actors=3,
                                  noise_px=1.5, seed=1)
@@ -141,7 +145,7 @@ def main():
 
     t = bench_fn(track_fn, (state, dets, mask, jnp.arange(F, dtype=jnp.int32)),
                  vary=vary_track)
-    results["track(32f scan)"] = t
+    record("track(32f scan)", t)
 
     total = sum(results.values())
     print(f"{'stage':28s} {'ms/clip':>10s} {'ms/frame':>10s} {'share':>7s}")

@@ -2,6 +2,7 @@
 crop/resize, checkpoint converter round-trips. (No pretrained weights are
 available in this environment; numerical parity with released checkpoints is
 exercised via structure/shape equality and synthetic round-trips.)"""
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -205,3 +206,43 @@ def test_normalize_image():
         [0.229, 0.224, 0.225]
     )
     np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5)
+
+
+def test_letterbox_resize_geometry_and_box_mapping():
+    from tpupose.models.yolov3 import yolo_box_mapping
+    from tpupose.ops.image import letterbox_resize
+
+    # 2:1 wide image: letterbox to 64 -> content rows [16, 48), fill elsewhere.
+    img = jnp.ones((40, 80, 3), jnp.float32)
+    out = np.asarray(letterbox_resize(img, 64, fill=0.5))
+    assert out.shape == (64, 64, 3)
+    assert np.allclose(out[:16], 0.5) and np.allclose(out[48:], 0.5)
+    assert np.allclose(out[16:48, :, :], 1.0, atol=1e-5)
+
+    cfg = tiny_yolo_test_config()
+    cfg = dataclasses.replace(cfg, letterbox=True, input_size=64)
+    scale, offset = (np.asarray(a) for a in yolo_box_mapping(cfg, (40, 80)))
+    # a box spanning the full content area maps back to the full image
+    box_in = np.array([0.0, 16.0, 64.0, 48.0])
+    orig = (box_in - offset) * scale
+    np.testing.assert_allclose(orig, [0, 0, 80, 40], atol=1e-6)
+
+    # plain mode: pure scaling, zero offset
+    cfg_plain = dataclasses.replace(cfg, letterbox=False)
+    scale, offset = (np.asarray(a) for a in yolo_box_mapping(cfg_plain, (40, 80)))
+    np.testing.assert_allclose(offset, 0)
+    np.testing.assert_allclose(scale, [80 / 64, 40 / 64] * 2)
+
+
+def test_prepare_yolo_images_dispatch():
+    from tpupose.models.yolov3 import prepare_yolo_images
+
+    cfg = tiny_yolo_test_config()
+    x = jnp.ones((2, 40, 80, 3), jnp.float32) * 0.25
+    plain = np.asarray(prepare_yolo_images(cfg, x))
+    assert plain.shape == (2, cfg.input_size, cfg.input_size, 3)
+    assert np.allclose(plain, 0.25, atol=1e-5)  # plain resize of a constant
+    lb = np.asarray(
+        prepare_yolo_images(dataclasses.replace(cfg, letterbox=True), x)
+    )
+    assert np.allclose(lb[:, 0], 0.5)  # letterbox fill at the top

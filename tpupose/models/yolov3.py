@@ -77,6 +77,11 @@ class YoloConfig:
     nms_thresh: float = 0.4
     max_candidates: int = 64  # top-K person candidates fed to NMS
     width_mult: float = 1.0   # channel scale (1.0 = real yolov3; tests shrink)
+    #: Preprocessing geometry. False = plain resize to (S, S), matching the
+    #: reference's shipped backend (ZQPei/deep_sort_pytorch YOLOv3
+    #: `__call__` does a plain cv2.resize); True = darknet letterbox
+    #: (aspect-preserving + neutral padding) for weights evaluated that way.
+    letterbox: bool = False
 
     @property
     def anchors(self):
@@ -225,12 +230,43 @@ def decode_detections(cfg: YoloConfig, heads, class_id=0):
     return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
 
 
+def prepare_yolo_images(cfg: YoloConfig, x):
+    """(N, H, W, 3) floats in [0, 1] -> (N, S, S, 3) network input, honoring
+    cfg.letterbox. Kept next to `yolo_box_mapping` so the geometry and its
+    inverse cannot drift."""
+    from tpupose.ops.image import letterbox_resize, resize_bilinear
+
+    s = cfg.input_size
+    if cfg.letterbox:
+        return letterbox_resize(x, s, fill=0.5)
+    return resize_bilinear(x, (s, s))
+
+
+def yolo_box_mapping(cfg: YoloConfig, image_hw):
+    """Input-pixel -> original-image box mapping as (scale4, offset4) so
+    that orig = (box_in_input - offset) * scale, for both preprocessing
+    geometries."""
+    oh, ow = image_hw
+    s = cfg.input_size
+    if cfg.letterbox:
+        r = min(s / oh, s / ow)
+        nh, nw = round(oh * r), round(ow * r)
+        top, left = (s - nh) // 2, (s - nw) // 2
+        scale = jnp.full((4,), 1.0 / r, jnp.float32)
+        offset = jnp.array([left, top, left, top], jnp.float32)
+    else:
+        scale = jnp.array([ow / s, oh / s] * 2, jnp.float32)
+        offset = jnp.zeros((4,), jnp.float32)
+    return scale, offset
+
+
 def detect_people(params, cfg: YoloConfig, images, image_hw):
     """Full person detection: forward + decode + top-K + NMS.
 
     Args:
-      images: (N, S, S, 3) in [0, 1] (plain resize of the original frames,
-        matching the reference backend's preprocessing).
+      images: (N, S, S, 3) in [0, 1], produced by `prepare_yolo_images`
+        (plain resize by default — the reference backend's preprocessing;
+        letterbox when cfg.letterbox).
       image_hw: (orig_h, orig_w) for scaling boxes back.
 
     Returns:
@@ -250,10 +286,8 @@ def detect_people(params, cfg: YoloConfig, images, image_hw):
 
     keep = jax.vmap(per_image)(top_boxes, top_scores, valid)
     oh, ow = image_hw
-    scale = jnp.array(
-        [ow / cfg.input_size, oh / cfg.input_size] * 2, jnp.float32
-    )
-    out_boxes = top_boxes * scale
+    scale, offset = yolo_box_mapping(cfg, image_hw)
+    out_boxes = (top_boxes - offset) * scale
     # Clip to image bounds (reference clamps at src/ivclabpose.py:190-194).
     out_boxes = jnp.clip(
         out_boxes,

@@ -65,6 +65,35 @@ def crop_and_resize(image, boxes, out_hw):
     return jax.vmap(one)(boxes)
 
 
+def letterbox_resize(image, out_size, fill=0.5):
+    """Aspect-preserving resize onto an (out_size, out_size) canvas.
+
+    Darknet-style letterbox: scale by min(out/h, out/w), center, pad with a
+    neutral fill (darknet uses 128/255). The reference's shipped backend
+    (ZQPei/deep_sort_pytorch YOLOv3) uses a PLAIN cv2.resize, so plain
+    `resize_bilinear` is the parity default; this exists for weights trained
+    with letterbox preprocessing (original darknet eval). Box back-mapping
+    lives in `tpupose.models.yolov3.yolo_box_mapping`.
+
+    Args:
+      image: (N, H, W, C) or (H, W, C) float in [0, 1].
+    Returns:
+      (N, out_size, out_size, C) (or unbatched).
+    """
+    batched = image.ndim == 4
+    if not batched:
+        image = image[None]
+    n, h, w, c = image.shape
+    scale = min(out_size / h, out_size / w)
+    nh, nw = round(h * scale), round(w * scale)
+    resized = resize_bilinear(image, (nh, nw))
+    top = (out_size - nh) // 2
+    left = (out_size - nw) // 2
+    out = jnp.full((n, out_size, out_size, c), fill, resized.dtype)
+    out = jax.lax.dynamic_update_slice(out, resized, (0, top, left, 0))
+    return out if batched else out[0]
+
+
 def resize_bilinear(image, out_hw):
     """Full-image bilinear resize (N, H, W, C) or (H, W, C).
 

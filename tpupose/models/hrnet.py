@@ -289,7 +289,14 @@ IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
 
 
-def normalize_image(x):
-    """uint8/float RGB (..., 3) in [0, 255] -> normalized float."""
-    x = x.astype(jnp.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+def normalize_image(x, value_scale=255.0):
+    """RGB (..., 3) in [0, value_scale] -> ImageNet-normalized float.
+
+    Floating inputs keep their dtype (a bf16 crop pipeline stays bf16 —
+    the downstream HRNet computes in bf16 anyway); integer inputs promote
+    to f32."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    dt = x.dtype
+    x = x / jnp.asarray(value_scale, dt)
+    return (x - IMAGENET_MEAN.astype(dt)) * (1.0 / IMAGENET_STD).astype(dt)

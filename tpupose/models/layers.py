@@ -35,7 +35,20 @@ def conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
     padding=k//2). This matters at stride 2: XLA's "SAME" pads (0, 1)
     asymmetrically there, which would silently diverge from converted torch
     checkpoints.
+
+    Dispatches to the int8 path when `p` is a quantized conv dict
+    (tpupose.models.quantize), and reports the input range to an active
+    calibration recorder.
     """
+    if "weight_q" in p:
+        from tpupose.models.quantize import quantized_conv_apply
+
+        return quantized_conv_apply(p, x, stride=stride, padding=padding,
+                                    dilation=dilation)
+    from tpupose.models.quantize import ActRecorder
+
+    if ActRecorder.active is not None:
+        ActRecorder.active.observe(p, x)
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
     if padding == "TORCH":

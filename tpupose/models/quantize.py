@@ -1,0 +1,184 @@
+"""Post-training int8 quantization for the conv backbones (serving mode).
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate, and int8
+activations halve HBM traffic — measured on this chip (scripts/probe_int8.py,
+docs/PERF.md): 1.25-1.5x per HRNet conv shape, more on the wide YOLO
+layers. This module implements standard TPU serving quantization:
+
+  * per-output-channel symmetric weight scales (absmax / 127),
+  * per-tensor symmetric activation scales from a calibration pass,
+  * zero-point 0 everywhere, so TORCH-style zero padding is exact,
+  * accumulation in int32, dequantize + bias in float.
+
+The quantized conv dict {"weight_q", "w_scale", "x_scale", "bias"} is
+dispatched by `tpupose.models.layers.conv_apply`, so the model apply
+functions (`hrnet_apply`, `yolov3_apply`) run quantized without change.
+First/last layers (stems, detection/heatmap heads) stay bf16 by default —
+standard practice, and the heads' output ranges drive sub-pixel decode.
+
+No counterpart exists in the reference (its backends are f32 CUDA models,
+`src/backend/` — SURVEY.md §2.1); this is TPU-build-specific serving
+machinery. Accuracy evidence available in this environment: the synthetic
+end-to-end PCP stays 100.00 and int8-vs-bf16 keypoints agree to sub-pixel
+(tests/test_quantize.py); real-checkpoint calibration needs real data.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ActRecorder:
+    """Collects per-conv input absmax during one traced forward.
+
+    `conv_apply` calls `observe(p, x)` when a recorder is active; keys are
+    `id(conv_param_dict)`, which is stable as long as the SAME params tree
+    object is closed over (not passed as a jit argument, which would
+    rebuild the dicts from flattened leaves).
+    """
+
+    active = None
+
+    def __init__(self):
+        self.taps = []  # (param_dict_id, traced_scalar_absmax)
+
+    def observe(self, p, x):
+        self.taps.append(
+            (id(p), jnp.max(jnp.abs(x.astype(jnp.float32))))
+        )
+
+
+def calibrate(apply_fn, *batches):
+    """Run `apply_fn(batch)` over calibration batches, recording each
+    conv's input absmax.
+
+    Args:
+      apply_fn: closure over the params tree mapping a batch -> output
+        (e.g. `lambda x: hrnet_apply(params, cfg, x)`). Must close over
+        the params, not receive them as arguments.
+      *batches: one or more input batches.
+
+    Returns:
+      dict id(conv_param_dict) -> float absmax over all batches.
+    """
+    out = {}
+    for batch in batches:
+        rec = ActRecorder()
+
+        def traced(x):
+            ActRecorder.active = rec
+            try:
+                apply_fn(x)
+            finally:
+                ActRecorder.active = None
+            return [t for _, t in rec.taps]
+
+        vals = jax.jit(traced)(batch)
+        for (key, _), v in zip(rec.taps, vals):
+            out[key] = max(out.get(key, 0.0), float(v))
+    return out
+
+
+def _quantize_conv(p, absmax):
+    w = np.asarray(p["weight"], np.float32)  # HWIO
+    w_scale = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0  # per cout
+    w_scale = np.maximum(w_scale, 1e-12)
+    weight_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    x_scale = max(float(absmax) / 127.0, 1e-12)
+    out = {
+        "weight_q": jnp.asarray(weight_q),
+        "w_scale": jnp.asarray(w_scale, jnp.float32),
+        "x_scale": jnp.float32(x_scale),
+    }
+    if "bias" in p:
+        out["bias"] = jnp.asarray(np.asarray(p["bias"], np.float32))
+    return out
+
+
+def quantize_convs(params, act_scales, skip_ids=()):
+    """Replace conv param dicts with quantized dicts.
+
+    Args:
+      params: BN-FOLDED param tree (quantizing an unfolded conv would bake
+        the pre-BN range into the scales; fold first).
+      act_scales: dict from `calibrate` (id(conv dict) -> input absmax).
+      skip_ids: collection of id(conv dict) to keep in float.
+
+    Returns a new tree; non-conv leaves and skipped convs are unchanged.
+    """
+    skip = set(skip_ids)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if (
+            "weight" in node
+            and getattr(node["weight"], "ndim", 0) == 4
+            and id(node) in act_scales
+            and id(node) not in skip
+        ):
+            return _quantize_conv(node, act_scales[id(node)])
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
+    """int8 conv: quantize input per-tensor, conv in int8 -> int32,
+    dequantize per-channel, add bias. Called from `conv_apply`."""
+    s = (stride, stride) if isinstance(stride, int) else stride
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    wq = p["weight_q"]
+    if padding == "TORCH":
+        kh, kw = wq.shape[0], wq.shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    inv = (1.0 / p["x_scale"]).astype(jnp.bfloat16)
+    xq = jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(
+        jnp.int8
+    )
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=s,
+        padding=padding,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (p["w_scale"] * p["x_scale"]).astype(jnp.float32)
+    out = y.astype(jnp.float32) * scale
+    if "bias" in p:
+        out = out + p["bias"]
+    return out.astype(x.dtype)
+
+
+# -- model-level convenience --------------------------------------------------
+
+def hrnet_skip_ids(params):
+    """Conv dicts to keep in float for HRNet: the stem pair + final head."""
+    return {id(params["conv1"]), id(params["conv2"]), id(params["final_layer"])}
+
+
+def yolo_skip_ids(params):
+    """Conv dicts to keep in float for YOLOv3: first conv + detection heads."""
+    ids = {id(params["conv0"]["conv"])}
+    for head in ("conv58", "conv66", "conv74"):
+        ids.add(id(params[head]["conv"]))
+    return ids
+
+
+def quantize_hrnet(params, cfg, sample_batch):
+    """Calibrate + quantize a BN-folded HRNet param tree."""
+    from tpupose.models.hrnet import hrnet_apply
+
+    scales = calibrate(lambda x: hrnet_apply(params, cfg, x), sample_batch)
+    return quantize_convs(params, scales, hrnet_skip_ids(params))
+
+
+def quantize_yolo(params, cfg, sample_batch):
+    """Calibrate + quantize a BN-folded YOLOv3 param tree."""
+    from tpupose.models.yolov3 import yolov3_apply
+
+    scales = calibrate(lambda x: yolov3_apply(params, cfg, x), sample_batch)
+    return quantize_convs(params, scales, yolo_skip_ids(params))

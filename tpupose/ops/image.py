@@ -31,10 +31,13 @@ def _bilinear_weight_matrix(src_coords, src_size):
 
 def _resample_matmul(img, ys, xs):
     """Separable bilinear resample of img (H, W, C) at row coords ys (out_h,)
-    and col coords xs (out_w,), as two matmuls."""
+    and col coords xs (out_w,), as two matmuls.
+
+    Computes in the image's dtype (bf16 images keep the whole resample in
+    bf16 — halves HBM traffic; the MXU accumulates in f32 either way)."""
     h, w, _ = img.shape
-    wy = _bilinear_weight_matrix(ys, h)  # (out_h, H)
-    wx = _bilinear_weight_matrix(xs, w)  # (out_w, W)
+    wy = _bilinear_weight_matrix(ys, h).astype(img.dtype)  # (out_h, H)
+    wx = _bilinear_weight_matrix(xs, w).astype(img.dtype)  # (out_w, W)
     # (out_h, H) @ (H, W*C) -> (out_h, W, C); then contract W with wx.
     tmp = jnp.einsum("oh,hwc->owc", wy, img)
     return jnp.einsum("pw,owc->opc", wx, tmp)

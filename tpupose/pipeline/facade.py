@@ -49,15 +49,20 @@ def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
     """
     in_h, in_w = pose_cfg.input_size
     n, h, w, _ = images.shape
-    x = images.astype(jnp.float32) / 255.0
+    # bf16 end-to-end preprocessing: uint8 values are exact in bf16, the
+    # resample matmuls accumulate in f32 on the MXU, and the 720p image
+    # tensors cost half the HBM traffic of an f32 pipeline (docs/PERF.md).
+    x = images.astype(jnp.bfloat16) / 255.0
     ximg = prepare_yolo_images(det_cfg, x)
     boxes, scores, valid = detect_people(det_params, det_cfg, ximg, (h, w))
     k = boxes.shape[1]
     eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
     crops = jax.vmap(
         lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
-    )(x * 255.0, eboxes.reshape(n, k, 4))
-    crops = normalize_image(crops.reshape(n * k, in_h, in_w, 3))
+    )(x, eboxes.reshape(n, k, 4))
+    crops = normalize_image(
+        crops.reshape(n * k, in_h, in_w, 3), value_scale=1.0
+    )
     heat = hrnet_apply(pose_params, pose_cfg, crops)
     kps = decode_heatmaps_auto(heat, eboxes)
     kps = kps.reshape(n, k, pose_cfg.num_joints, 3)
@@ -105,6 +110,39 @@ class Pipeline:
 
     def track_restart(self):
         self.state = init_state(self.tracker_cfg)
+
+    def quantize_models(self, sample_images):
+        """Switch both backbones to int8 serving mode (PTQ).
+
+        Calibrates activation scales by running the real preprocess ->
+        detect -> crop path on `sample_images` ((N, H, W, 3) uint8/float
+        RGB frames, ideally representative of the deployment scenes), then
+        swaps the param trees for quantized ones
+        (`tpupose.models.quantize`). Compiled pipeline functions pick up
+        the new trees automatically (params are jit arguments).
+
+        Measured on v5e: ~1.25-1.5x per HRNet conv, more on wide YOLO
+        layers (docs/PERF.md)."""
+        from tpupose.models.quantize import quantize_hrnet, quantize_yolo
+        from tpupose.models.yolov3 import prepare_yolo_images as _prep
+
+        x = jnp.asarray(sample_images)
+        n, h, w, _ = x.shape
+        # calibrate on the SAME bf16 preprocessing the fused programs run
+        xf = x.astype(jnp.bfloat16) / 255.0
+        ximg = _prep(self.det_cfg, xf)
+        self.det_params = quantize_yolo(self.det_params, self.det_cfg, ximg)
+        boxes, _, _ = detect_people(self.det_params, self.det_cfg, ximg, (h, w))
+        in_h, in_w = self.pose_cfg.input_size
+        k = boxes.shape[1]
+        eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
+        crops = jax.vmap(
+            lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
+        )(xf, eboxes.reshape(n, k, 4))
+        crops = normalize_image(
+            crops.reshape(n * k, in_h, in_w, 3), value_scale=1.0
+        )
+        self.pose_params = quantize_hrnet(self.pose_params, self.pose_cfg, crops)
 
     # -- staged API (mirrors PersonDetect / PersonPoseDetect /
     #    PersonTrack_Project3DPose) -------------------------------------------
@@ -178,7 +216,9 @@ class Pipeline:
 
             @jax.jit
             def fn(det_params, pose_params, cams, state, images, frame_id):
-                x = images.astype(jnp.float32) / 255.0
+                # identical preprocessing to _clip_detections (bf16; the
+                # clip-vs-frame equivalence tests pin the two together)
+                x = images.astype(jnp.bfloat16) / 255.0
                 ximg = prepare_yolo_images(det_cfg, x)
                 boxes, scores, valid = detect_people(
                     det_params, det_cfg, ximg, (images.shape[1], images.shape[2])
@@ -189,8 +229,10 @@ class Pipeline:
                 ).reshape(c, k, 4)
                 crops = jax.vmap(
                     lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
-                )(x * 255.0, eboxes)
-                crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
+                )(x, eboxes)
+                crops = normalize_image(
+                    crops.reshape(c * k, in_h, in_w, 3), value_scale=1.0
+                )
                 heat = hrnet_apply(pose_params, pose_cfg, crops)
                 kps = decode_heatmaps_auto(heat, eboxes.reshape(-1, 4))
                 kps = kps.reshape(c, k, pose_cfg.num_joints, 3)

@@ -79,19 +79,22 @@ def main():
         pose_cfg=pose_cfg, pose_params=pose_params,
     )
 
-    # Pre-stage n_clips DISTINCT clips on device (generated there — no
-    # uploads, no eager ops inside the timed loops).
+    # Pre-stage n_clips DISTINCT clips on device as ONE batch (generated
+    # there — no uploads; the timed program is a single dispatch scanning
+    # all clips, the continuous-serving shape; per-dispatch relay overhead
+    # of ~15-18 ms + ~0.1 ms/argument-leaf is a dev-tunnel artifact, not
+    # chip throughput — docs/PERF.md).
     n_clips = 8
-    gen_clip = jax.jit(
+    gen_clips = jax.jit(
         lambda seed: jax.random.randint(
-            jax.random.PRNGKey(seed), (F, VIEWS, H, W, 3), 0, 255, jnp.uint8
+            jax.random.PRNGKey(seed),
+            (n_clips, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
         )
     )
-    # one extra clip for warmup, so no timed request repeats a prior one
-    clips = [gen_clip(jnp.uint32(i)) for i in range(n_clips + 1)]
-    for c in clips:
-        float(jnp.sum(c[0, 0, 0, 0]))  # force materialization before timing
-    clip = clips.pop()
+    clips = gen_clips(jnp.uint32(0))      # timed batch
+    clips_warm = gen_clips(jnp.uint32(1))  # warmup batch (distinct requests)
+    float(jnp.sum(clips[0, 0, 0, 0, 0]))
+    float(jnp.sum(clips_warm[0, 0, 0, 0, 0]))
 
     # Stage B inputs: adversarial-scene detections (crossing + occlusion +
     # noise) looped over the clip — a representative association/update/init
@@ -108,38 +111,34 @@ def main():
     adv_cams = make_camera_set(adv.P, adv.K, adv.RT, adv.width, adv.height)
     dets = jnp.asarray(dets)
     mask = jnp.asarray(mask)
-    track_fn = jax.jit(
-        lambda st, d, m, f: track_clip(tcfg, adv_cams, st, d, m, f)
-    )
 
-    # Pre-stage per-clip frame-id arrays (tiny, but eager ops in the timed
-    # loop would cost a relay round-trip each).
-    fid_clips = [
-        jax.device_put(np.arange(F, dtype=np.int32) + F * i)
-        for i in range(1, n_clips + 1)
-    ]
-    for f_ in fid_clips:
-        float(jnp.sum(f_))
+    # Stage B inputs for all clips: the adversarial detections looped
+    # n_clips times = one 256-frame stream, tracked in one dispatch.
+    dets_all = jnp.asarray(np.tile(np.asarray(dets), (n_clips, 1, 1, 1, 1)))
+    mask_all = jnp.asarray(np.tile(np.asarray(mask), (n_clips, 1, 1)))
+    fids_all = jax.device_put(np.arange(n_clips * F, dtype=np.int32))
+    float(jnp.sum(fids_all))
 
-    # Warmup / compile both stages.
-    d0, m0 = pipe.process_clip_nn(clip)
+    # Warmup / compile stage A (distinct inputs from the timed run).
+    d0, m0 = pipe.process_clips_nn(clips_warm)
     float(jnp.sum(d0))
-    state = init_state(tcfg)
-    state, outs = track_fn(state, dets, mask, jnp.arange(F, dtype=jnp.int32))
-    float(jnp.sum(outs.pose3d))
 
-    # Stage A timing: distinct pre-staged clips, async dispatch, one fetch.
+    # Stage A: ONE dispatch scanning all n_clips pre-staged clips.
     start = time.perf_counter()
-    for c in clips:
-        d_i, m_i = pipe.process_clip_nn(c)
+    d_i, m_i = pipe.process_clips_nn(clips)
     float(jnp.sum(d_i))  # real value fetch = real sync through the relay
     t_nn = time.perf_counter() - start
 
-    # Stage B timing: frame ids advance per clip (state carried across).
+    # Stage B: ONE dispatch tracking the full 256-frame stream.
+    track_all_fn = jax.jit(
+        lambda st, d, m, f: track_clip(tcfg, adv_cams, st, d, m, f)
+    )
+    st, outs = track_all_fn(
+        init_state(tcfg), dets_all, mask_all, fids_all - n_clips * F
+    )  # warmup/compile at the 256-frame shape (distinct frame ids)
+    float(jnp.sum(outs.pose3d))
     start = time.perf_counter()
-    st = init_state(tcfg)
-    for f_ in fid_clips:
-        st, outs = track_fn(st, dets, mask, f_)
+    st, outs = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_all)
     float(jnp.sum(outs.pose3d))
     t_track = time.perf_counter() - start
 
@@ -163,11 +162,10 @@ def main():
             0, 255, size=(8, H, W, 3), dtype=np.uint8
         )
         pipe.quantize_models(sample)
-        d0, m0 = pipe.process_clip_nn(clip)  # compile the int8 program
+        d0, m0 = pipe.process_clips_nn(clips_warm)  # compile the int8 program
         float(jnp.sum(d0))
         start = time.perf_counter()
-        for c in clips:
-            d_i, m_i = pipe.process_clip_nn(c)
+        d_i, m_i = pipe.process_clips_nn(clips)
         float(jnp.sum(d_i))
         t_nn_q = time.perf_counter() - start
         fps_q = n_clips * F / (t_nn_q + t_track)

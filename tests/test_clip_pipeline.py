@@ -84,3 +84,15 @@ def test_bn_folding_exact_at_heatmap_level():
     b = hrnet_apply(folded, cfg, x, jnp.float32)
     scale = float(jnp.max(jnp.abs(a)))
     assert float(jnp.max(jnp.abs(a - b))) < 1e-3 * max(scale, 1.0)
+
+
+def test_clips_nn_batch_equals_single():
+    scene = make_scene(num_frames=2, num_cameras=3, num_actors=2, seed=3)
+    rng = np.random.default_rng(3)
+    clips = rng.integers(0, 255, size=(2, 2, 3, 64, 96, 3), dtype=np.uint8)
+    pipe = _make_pipe(scene, fold=True)
+    ds, ms = pipe.process_clips_nn(clips)
+    assert ds.shape[:2] == (2, 2) and ms.shape[:2] == (2, 2)
+    d0, m0 = pipe.process_clip_nn(clips[0])
+    np.testing.assert_allclose(np.asarray(ds[0]), np.asarray(d0), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ms[0]), np.asarray(m0))

@@ -9,6 +9,12 @@ from tpupose.models.hrnet import (
     normalize_image,
 )
 from tpupose.models.layers import cast_params, fold_batchnorm
+from tpupose.models.quantize import (
+    calibrate,
+    quantize_convs,
+    quantize_hrnet,
+    quantize_yolo,
+)
 from tpupose.models.yolov3 import (
     YoloConfig,
     decode_detections,
@@ -26,6 +32,10 @@ __all__ = [
     "normalize_image",
     "cast_params",
     "fold_batchnorm",
+    "calibrate",
+    "quantize_convs",
+    "quantize_hrnet",
+    "quantize_yolo",
     "YoloConfig",
     "decode_detections",
     "detect_people",

@@ -286,6 +286,43 @@ class Pipeline:
             self.det_params, self.pose_params, jnp.asarray(clip_images)
         )
 
+    def process_clips_nn(self, clips):
+        """Stage A for a BATCH of clips as one device-resident scan.
+
+        Args:
+          clips: (B, F, C, H, W, 3) uint8 RGB.
+        Returns:
+          ((B, F, C, D, J, 3) detections, (B, F, C, D) mask).
+
+        One dispatch for B clips: the continuous-serving shape (a local
+        TPU deployment keeps the NN loop device-resident; per-dispatch
+        relay/host overhead is not part of the chip's throughput)."""
+        if getattr(self, "_clips_nn_fn", None) is None:
+            det_cfg, pose_cfg, tcfg = self.det_cfg, self.pose_cfg, self.tracker_cfg
+
+            @jax.jit
+            def fn(det_params, pose_params, clips):
+                b, f, c, h, w, _ = clips.shape
+
+                def body(carry, clip):
+                    dets, mask = _clip_detections(
+                        det_cfg, pose_cfg, tcfg, det_params, pose_params,
+                        clip.reshape(f * c, h, w, 3),
+                    )
+                    k = dets.shape[1]
+                    return carry, (
+                        dets.reshape(f, c, k, tcfg.num_joints, 3),
+                        mask.reshape(f, c, k),
+                    )
+
+                _, (ds, ms) = jax.lax.scan(body, 0, clips)
+                return ds, ms
+
+            self._clips_nn_fn = fn
+        return self._clips_nn_fn(
+            self.det_params, self.pose_params, jnp.asarray(clips)
+        )
+
     def process_clip(self, frame_ids, clip_images):
         """Batched-NN + scanned-tracker clip pipeline (throughput mode).
 

@@ -101,6 +101,22 @@ def test_real_nn_eval_cli_full_path(mini, capsys):
     assert "fps" in out
 
 
+def test_real_nn_eval_cli_int8_mode(mini, capsys):
+    """--int8 switches the CLI to the quantized serving path (calibrated on
+    the first frame's views); the full path must still execute and emit
+    well-formed artifacts."""
+    if not mini.get("hrnet_checkpoint"):
+        pytest.skip("torch unavailable; cannot fabricate .pth")
+    from tpupose.cli import evalmodel
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--int8",
+    ])
+    out = capsys.readouterr().out
+    assert "Average PCP" in out, out
+
+
 def test_replay_dump_roundtrip(mini):
     """dets -> reference dump format -> dets is exact."""
     from tpupose.data.replay import (

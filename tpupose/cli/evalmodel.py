@@ -40,6 +40,10 @@ def main(argv=None):
                         help="cached 2D detections dump pickle (reference "
                              "dump format); skips the NN backends")
     parser.add_argument("--frames", type=int, default=120)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 serving mode: post-training-quantize the "
+                             "backbones, calibrating on the first frame's "
+                             "views (tpupose.models.quantize)")
     args = parser.parse_args(argv)
 
     timer = StageTimer()
@@ -77,6 +81,8 @@ def main(argv=None):
         pipe = build_pipeline_real(
             cfg, camera_parameter, images0.shape[2], images0.shape[1]
         )
+        if args.int8:
+            pipe.quantize_models(images0)
         image_hw = (images0.shape[1], images0.shape[2])
 
         def chained(first=first, source=source):

@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--save-images", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 serving mode (PTQ, calibrated on the "
+                             "first frame's views)")
     args = parser.parse_args(argv)
 
     timer = StageTimer()
@@ -48,6 +51,8 @@ def main(argv=None):
     first = next(source)
     images0 = first[2]
     pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2], images0.shape[1])
+    if args.int8:
+        pipe.quantize_models(images0)
     out_dir = os.path.join(cfg.output, cfg.dataset.test_dataset, "Images")
     os.makedirs(out_dir, exist_ok=True)
 

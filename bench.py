@@ -91,9 +91,11 @@ def main():
             (n_clips, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
         )
     )
-    clips = gen_clips(jnp.uint32(0))      # timed batch
-    clips_warm = gen_clips(jnp.uint32(1))  # warmup batch (distinct requests)
+    clips = gen_clips(jnp.uint32(0))       # split-timing batch (stderr)
+    clips2 = gen_clips(jnp.uint32(1))      # headline combined-timing batch
+    clips_warm = gen_clips(jnp.uint32(2))  # warmup batch (distinct requests)
     float(jnp.sum(clips[0, 0, 0, 0, 0]))
+    float(jnp.sum(clips2[0, 0, 0, 0, 0]))
     float(jnp.sum(clips_warm[0, 0, 0, 0, 0]))
 
     # Stage B inputs: adversarial-scene detections (crossing + occlusion +
@@ -133,8 +135,11 @@ def main():
     track_all_fn = jax.jit(
         lambda st, d, m, f: track_clip(tcfg, adv_cams, st, d, m, f)
     )
+    fids_b = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                            + 10 * n_clips * F)
+    float(jnp.sum(fids_b))
     st, outs = track_all_fn(
-        init_state(tcfg), dets_all, mask_all, fids_all - n_clips * F
+        init_state(tcfg), dets_all, mask_all, fids_b
     )  # warmup/compile at the 256-frame shape (distinct frame ids)
     float(jnp.sum(outs.pose3d))
     start = time.perf_counter()
@@ -142,7 +147,20 @@ def main():
     float(jnp.sum(outs.pose3d))
     t_track = time.perf_counter() - start
 
-    fps = n_clips * F / (t_nn + t_track)
+    # Headline: both stages dispatched back-to-back, ONE sync at the end
+    # (a deployment never syncs between stages; each fetch above costs a
+    # ~35 ms relay round-trip). Distinct inputs (clips2, fresh frame ids)
+    # so no execute request repeats.
+    fids_c = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                            + 20 * n_clips * F)
+    float(jnp.sum(fids_c))
+    start = time.perf_counter()
+    d_c, m_c = pipe.process_clips_nn(clips2)
+    st_c, outs_c = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_c)
+    float(jnp.sum(outs_c.pose3d) + jnp.sum(d_c))
+    t_combined = time.perf_counter() - start
+
+    fps = n_clips * F / t_combined
     import os
     import sys
 
@@ -158,22 +176,28 @@ def main():
     # time); the headline reports the faster mode, labeled.
     fps_q = None
     if os.environ.get("BENCH_INT8", "1") != "0":
+        # free the bf16 split-timing batch: three staged batches plus the
+        # int8 program's workspace exhaust the 16 GB HBM
+        clips.delete()
+        del d_i, m_i, d_c, m_c
         sample = np.random.default_rng(1).integers(
             0, 255, size=(8, H, W, 3), dtype=np.uint8
         )
         pipe.quantize_models(sample)
         d0, m0 = pipe.process_clips_nn(clips_warm)  # compile the int8 program
         float(jnp.sum(d0))
+        del d0, m0
+        fids_d = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                                + 30 * n_clips * F)
+        float(jnp.sum(fids_d))
         start = time.perf_counter()
-        d_i, m_i = pipe.process_clips_nn(clips)
-        float(jnp.sum(d_i))
-        t_nn_q = time.perf_counter() - start
-        fps_q = n_clips * F / (t_nn_q + t_track)
-        print(
-            f"int8: stage A (NN) {t_nn_q / n_clips * 1e3:8.1f} ms/clip "
-            f"-> {fps_q:.1f} fps",
-            file=sys.stderr,
+        d_q, m_q = pipe.process_clips_nn(clips2)
+        st_q, outs_q = track_all_fn(
+            init_state(tcfg), dets_all, mask_all, fids_d
         )
+        float(jnp.sum(outs_q.pose3d) + jnp.sum(d_q))
+        fps_q = n_clips * F / (time.perf_counter() - start)
+        print(f"int8 combined -> {fps_q:.1f} fps", file=sys.stderr)
 
     per_chip_target = 300.0 / 8.0
     mode = "bf16"

@@ -81,8 +81,9 @@ def test_calibrate_records_every_conv_and_skips():
     assert all(v > 0 for v in scales.values())
 
     qp = quantize_hrnet(params, cfg, x)
-    # stem + final head stay float
-    assert "weight" in qp["conv1"] and "weight" in qp["final_layer"]
+    # the heatmap head stays float; stems quantize (uint8/255 inputs)
+    assert "weight" in qp["final_layer"]
+    assert "weight_q" in qp["conv1"]
     # interior convs are quantized
     assert "weight_q" in qp["layer1"]["0"]["conv1"]
 
@@ -130,3 +131,24 @@ def test_quantized_pytree_is_jittable():
     out = jax.jit(lambda b: hrnet_apply(qp, cfg, b))(x)
     assert out.shape == (1, *cfg.heatmap_size, cfg.num_joints)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    # calibrated int8 trees are serving artifacts: they must survive orbax
+    # save/restore bit-exactly (int8 weights, f32 scales, and the skip-listed
+    # float convs alike)
+    from tpupose.models.checkpoint import restore_params, save_params
+
+    cfg = tiny_test_config()
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(7), cfg))
+    x = jnp.ones((1, *cfg.input_size, 3), jnp.float32) * 0.5
+    qp = quantize_hrnet(params, cfg, x)
+    path = str(tmp_path / "qp_ckpt")
+    save_params(path, qp)
+    restored = restore_params(path, like=qp)
+    for a, b in zip(jax.tree.leaves(qp), jax.tree.leaves(restored)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_a = hrnet_apply(qp, cfg, x)
+    out_b = hrnet_apply(restored, cfg, x)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

@@ -156,16 +156,20 @@ def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
 # -- model-level convenience --------------------------------------------------
 
 def hrnet_skip_ids(params):
-    """Conv dicts to keep in float for HRNet: the stem pair + final head."""
-    return {id(params["conv1"]), id(params["conv2"]), id(params["final_layer"])}
+    """Conv dicts to keep in float for HRNet: the final heatmap head (its
+    output drives sub-pixel argmax refinement). Stems quantize fine: the
+    network input is uint8/255, so 8-bit input quantization is essentially
+    exact, and the stem outputs are the largest padded-layout tensors in
+    the net (docs/PERF.md)."""
+    return {id(params["final_layer"])}
 
 
 def yolo_skip_ids(params):
-    """Conv dicts to keep in float for YOLOv3: first conv + detection heads."""
-    ids = {id(params["conv0"]["conv"])}
-    for head in ("conv58", "conv66", "conv74"):
-        ids.add(id(params[head]["conv"]))
-    return ids
+    """Conv dicts to keep in float for YOLOv3: the detection heads (box
+    regression consumes their raw values). conv0 quantizes fine — its
+    input is uint8/255 — and its 416x416x32 output is the most
+    padding-inflated tensor in the whole pipeline (32 -> 128 lanes)."""
+    return {id(params[h]["conv"]) for h in ("conv58", "conv66", "conv74")}
 
 
 def quantize_hrnet(params, cfg, sample_batch):

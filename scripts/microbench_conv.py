@@ -1,4 +1,8 @@
-"""Conv-shape microbenchmarks on the real TPU.
+"""Conv-shape microbenchmarks — superseded by relay_probe2/device_profile.
+
+HISTORICAL: the per-op loops here are relay-dispatch-bound (a 3.38 ms
+conv "measures" 236 ms — docs/PERF.md round 2). Kept for the record; use
+in-jit chained timing (`scripts/relay_probe2.py` pattern) instead.
 
 Quantifies WHERE HRNet-W48's MXU utilization goes: each row times one conv
 shape (or a small fused group) and reports achieved TFLOP/s plus the implied

@@ -1,4 +1,11 @@
-"""Per-stage TPU timing for the flagship clip pipeline.
+"""Per-stage timing via separate dispatched programs — RELAY-POLLUTED.
+
+DEPRECATED for per-stage truth: each loop iteration pays ~15-18 ms of
+relay dispatch overhead plus eager-op costs, which swamps the smaller
+stages and inflates HRNet ~5x (docs/PERF.md, round 2). Use
+`scripts/device_profile.py` (in-jit scan chaining) for honest device
+numbers; this script remains useful only to measure the per-dispatch
+overhead itself.
 
 Times each pipeline stage as its own jitted program at the bench shapes
 (F=32 frames, 5 views, 720p, 4 crops/view):

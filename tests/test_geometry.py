@@ -176,3 +176,12 @@ def test_adj4x4_and_smallest_eigvec():
     # Fully masked joint (all-zero normal matrix) must stay finite.
     z = np.asarray(_smallest_eigvec_4x4(jnp.zeros((1, 4, 4))))
     assert np.isfinite(z).all()
+
+
+def test_camera_undistort_noop_parity(rig):
+    # The reference Camera's undistortion hooks are no-ops
+    # (src/ivclabpose.py:48-60); the rig keeps the API.
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    np.testing.assert_array_equal(rig.undistort(img), img)
+    pts = np.array([[1.0, 2.0, 0.9]])
+    np.testing.assert_array_equal(rig.undistort_points(pts), pts)

@@ -218,3 +218,44 @@ def test_panoptic_gt_loader_roundtrip(tmp_path):
     got = gts[5]["joints_3d"][0]
     want = coco2panoptic14(scene.gt3d[5, 0].T) * 1000.0
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_testmodel_cli_save_images(mini, tmp_path, capsys, monkeypatch):
+    """Demo CLI over the mini-dataset with overlay writing: the viz path
+    (reference `draw_points_and_skeleton` equivalent) must emit one
+    annotated JPEG per camera per frame under <OUTPUT>/<ds>/Images."""
+    if not mini.get("hrnet_checkpoint"):
+        pytest.skip("torch unavailable; cannot fabricate .pth")
+    import glob
+    import os
+
+    from tpupose.cli import testmodel
+    from tpupose.data.config import load_config
+
+    monkeypatch.chdir(mini["root"])  # OUTPUT paths in the config are relative
+    testmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--save-images",
+    ])
+    out = capsys.readouterr().out
+    assert "processed" in out and "fps" in out
+    cfg = load_config(
+        os.path.join(mini["config_dir"], "MiniCampus", "model_configs.yaml")
+    )
+    if cfg.save_image:
+        images = glob.glob(
+            os.path.join(cfg.output, "MiniCampus", "Images", "*.jpg")
+        )
+        assert images, "no overlay images written"
+
+
+def test_draw_skeleton_overlay_pixels():
+    from tpupose.utils.viz import draw_skeleton_overlay
+
+    img = np.zeros((60, 80, 3), np.uint8)
+    pose = np.array([[10.0 + j, 20.0 + j] for j in range(17)])
+    scores = np.ones(17)
+    out = draw_skeleton_overlay(img, pose, scores, person_id=3)
+    assert out.sum() > 0  # something was drawn
+    # joints land where asked (point marker covers the coordinate)
+    assert out[20, 10].any() and out[36, 26].any()

@@ -51,6 +51,17 @@ class CameraSet(NamedTuple):
     def num_cameras(self) -> int:
         return self.P.shape[0]
 
+    # The reference Camera exposes undistortion hooks that are NO-OPS (its
+    # datasets ship pre-undistorted images — `src/ivclabpose.py:48-60`).
+    # Kept for API parity; a real distortion model would slot in here.
+    def undistort(self, images):
+        """(…, H, W, C) images -> unchanged (reference parity no-op)."""
+        return images
+
+    def undistort_points(self, points2d):
+        """(…, 2+) pixel points -> unchanged (reference parity no-op)."""
+        return points2d
+
 
 def fundamental_from_krt(K0, R0, T0, K1, R1, T1):
     """Fundamental matrix between two calibrated views.

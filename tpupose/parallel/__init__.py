@@ -12,6 +12,7 @@ from tpupose.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from tpupose.parallel import multihost
 from tpupose.parallel.streams import (
     broadcast_cameras,
     init_multistream_state,
@@ -21,6 +22,7 @@ from tpupose.parallel.streams import (
 )
 
 __all__ = [
+    "multihost",
     "conv_param_sharding",
     "data_sharding",
     "make_mesh",

@@ -91,10 +91,8 @@ def main():
             (n_clips, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
         )
     )
-    clips = gen_clips(jnp.uint32(0))       # split-timing batch (stderr)
     clips2 = gen_clips(jnp.uint32(1))      # headline combined-timing batch
     clips_warm = gen_clips(jnp.uint32(2))  # warmup batch (distinct requests)
-    float(jnp.sum(clips[0, 0, 0, 0, 0]))
     float(jnp.sum(clips2[0, 0, 0, 0, 0]))
     float(jnp.sum(clips_warm[0, 0, 0, 0, 0]))
 
@@ -111,110 +109,120 @@ def main():
             dets[t, c, :n] = d[:n]
             mask[t, c, :n] = True
     adv_cams = make_camera_set(adv.P, adv.K, adv.RT, adv.width, adv.height)
-    dets = jnp.asarray(dets)
-    mask = jnp.asarray(mask)
 
     # Stage B inputs for all clips: the adversarial detections looped
     # n_clips times = one 256-frame stream, tracked in one dispatch.
-    dets_all = jnp.asarray(np.tile(np.asarray(dets), (n_clips, 1, 1, 1, 1)))
-    mask_all = jnp.asarray(np.tile(np.asarray(mask), (n_clips, 1, 1)))
+    dets_all = jnp.asarray(np.tile(dets, (n_clips, 1, 1, 1, 1)))
+    mask_all = jnp.asarray(np.tile(mask, (n_clips, 1, 1)))
     fids_all = jax.device_put(np.arange(n_clips * F, dtype=np.int32))
     float(jnp.sum(fids_all))
 
-    # Warmup / compile stage A (distinct inputs from the timed run).
-    d0, m0 = pipe.process_clips_nn(clips_warm)
-    float(jnp.sum(d0))
-
-    # Stage A: ONE dispatch scanning all n_clips pre-staged clips.
-    start = time.perf_counter()
-    d_i, m_i = pipe.process_clips_nn(clips)
-    float(jnp.sum(d_i))  # real value fetch = real sync through the relay
-    t_nn = time.perf_counter() - start
-
-    # Stage B: ONE dispatch tracking the full 256-frame stream.
+    # Stage B program (mode-independent): compile + warm at 256 frames.
     track_all_fn = jax.jit(
         lambda st, d, m, f: track_clip(tcfg, adv_cams, st, d, m, f)
     )
     fids_b = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
                             + 10 * n_clips * F)
     float(jnp.sum(fids_b))
-    st, outs = track_all_fn(
-        init_state(tcfg), dets_all, mask_all, fids_b
-    )  # warmup/compile at the 256-frame shape (distinct frame ids)
+    st, outs = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_b)
     float(jnp.sum(outs.pose3d))
-    start = time.perf_counter()
-    st, outs = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_all)
-    float(jnp.sum(outs.pose3d))
-    t_track = time.perf_counter() - start
 
-    # Headline: both stages dispatched back-to-back, ONE sync at the end
-    # (a deployment never syncs between stages; each fetch above costs a
-    # ~35 ms relay round-trip). Distinct inputs (clips2, fresh frame ids)
-    # so no execute request repeats.
-    fids_c = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
-                            + 20 * n_clips * F)
-    float(jnp.sum(fids_c))
-    start = time.perf_counter()
-    d_c, m_c = pipe.process_clips_nn(clips2)
-    st_c, outs_c = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_c)
-    float(jnp.sum(outs_c.pose3d) + jnp.sum(d_c))
-    t_combined = time.perf_counter() - start
-
-    fps = n_clips * F / t_combined
     import os
     import sys
 
-    print(
-        f"bf16: stage A (NN) {t_nn / n_clips * 1e3:8.1f} ms/clip, "
-        f"stage B (tracker) {t_track / n_clips * 1e3:8.1f} ms/clip "
-        f"-> {fps:.1f} fps",
-        file=sys.stderr,
-    )
+    per_chip_target = 300.0 / 8.0
 
-    # int8 serving mode (PTQ, tpupose.models.quantize): same pipeline,
-    # quantized backbones. BENCH_INT8=0 skips it (e.g. to bound compile
-    # time); the headline reports the faster mode, labeled.
-    fps_q = None
-    if os.environ.get("BENCH_INT8", "1") != "0":
-        # free the bf16 split-timing batch: three staged batches plus the
-        # int8 program's workspace exhaust the 16 GB HBM
-        clips.delete()
-        del d_i, m_i, d_c, m_c
-        sample = np.random.default_rng(1).integers(
-            0, 255, size=(8, H, W, 3), dtype=np.uint8
+    def emit(fps, mode):
+        print(
+            json.dumps(
+                {
+                    "metric": "multi-view frames/sec (5-view YOLOv3+HRNet-W48 "
+                              f"+ tracker on adversarial detections, 1 chip, {mode})",
+                    "value": round(fps, 3),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / per_chip_target, 3),
+                }
+            ),
+            flush=True,
         )
-        pipe.quantize_models(sample)
-        d0, m0 = pipe.process_clips_nn(clips_warm)  # compile the int8 program
+
+    def combined_run(batch, fid_offset):
+        """Both stages dispatched back-to-back, ONE sync at the end (a
+        deployment never syncs between stages; each relay fetch costs
+        ~35 ms). Inputs distinct per call so no execute request repeats."""
+        fids = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                              + fid_offset)
+        float(jnp.sum(fids))
+        start = time.perf_counter()
+        d_c, m_c = pipe.process_clips_nn(batch)
+        st_c, outs_c = track_all_fn(init_state(tcfg), dets_all, mask_all, fids)
+        float(jnp.sum(outs_c.pose3d) + jnp.sum(d_c))
+        return n_clips * F / (time.perf_counter() - start)
+
+    # int8 serving mode FIRST — it is the headline, and the JSON line is
+    # emitted as soon as it exists (the bf16 diagnostics below are
+    # best-effort if the harness enforces a wall-clock bound). Activation
+    # scales are timing-irrelevant, so `uncalibrated_scales` skips the
+    # calibration forward passes (real serving calls
+    # Pipeline.quantize_models; tests pin the calibrated path).
+    emitted = False
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            from tpupose.models.quantize import (
+                hrnet_skip_ids,
+                quantize_convs,
+                uncalibrated_scales,
+                yolo_skip_ids,
+            )
+
+            bf16_det, bf16_pose = pipe.det_params, pipe.pose_params
+            pipe.det_params = quantize_convs(
+                bf16_det, uncalibrated_scales(bf16_det, yolo_skip_ids(bf16_det))
+            )
+            pipe.pose_params = quantize_convs(
+                bf16_pose,
+                uncalibrated_scales(bf16_pose, hrnet_skip_ids(bf16_pose)),
+            )
+            d0, m0 = pipe.process_clips_nn(clips_warm)  # compile int8 program
+            float(jnp.sum(d0))
+            del d0, m0
+            fps_q = combined_run(clips2, 30 * n_clips * F)
+            emit(fps_q, "int8 serving")
+            emitted = True
+            print(f"int8 combined -> {fps_q:.1f} fps", file=sys.stderr)
+            pipe.det_params, pipe.pose_params = bf16_det, bf16_pose
+        except Exception as e:  # fall back to the bf16 headline
+            print(f"int8 leg failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # bf16 diagnostics (and the headline when the int8 leg is off/failed).
+    if os.environ.get("BENCH_BF16", "1") != "0" or not emitted:
+        d0, m0 = pipe.process_clips_nn(clips_warm)  # compile bf16 program
         float(jnp.sum(d0))
         del d0, m0
-        fids_d = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
-                                + 30 * n_clips * F)
-        float(jnp.sum(fids_d))
-        start = time.perf_counter()
-        d_q, m_q = pipe.process_clips_nn(clips2)
-        st_q, outs_q = track_all_fn(
-            init_state(tcfg), dets_all, mask_all, fids_d
-        )
-        float(jnp.sum(outs_q.pose3d) + jnp.sum(d_q))
-        fps_q = n_clips * F / (time.perf_counter() - start)
-        print(f"int8 combined -> {fps_q:.1f} fps", file=sys.stderr)
 
-    per_chip_target = 300.0 / 8.0
-    mode = "bf16"
-    best = fps
-    if fps_q is not None and fps_q > fps:
-        mode, best = "int8 serving", fps_q
-    print(
-        json.dumps(
-            {
-                "metric": "multi-view frames/sec (5-view YOLOv3+HRNet-W48 "
-                          f"+ tracker on adversarial detections, 1 chip, {mode})",
-                "value": round(best, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(best / per_chip_target, 3),
-            }
+        # split timing for the stderr breakdown (3rd staged batch made
+        # only now — three batches plus the int8 workspace would OOM)
+        clips = gen_clips(jnp.uint32(0))
+        float(jnp.sum(clips[0, 0, 0, 0, 0]))
+        start = time.perf_counter()
+        d_i, m_i = pipe.process_clips_nn(clips)
+        float(jnp.sum(d_i))
+        t_nn = time.perf_counter() - start
+        del d_i, m_i
+        start = time.perf_counter()
+        st, outs = track_all_fn(init_state(tcfg), dets_all, mask_all, fids_all)
+        float(jnp.sum(outs.pose3d))
+        t_track = time.perf_counter() - start
+
+        fps = combined_run(clips2, 20 * n_clips * F)
+        print(
+            f"bf16: stage A (NN) {t_nn / n_clips * 1e3:8.1f} ms/clip, "
+            f"stage B (tracker) {t_track / n_clips * 1e3:8.1f} ms/clip, "
+            f"combined -> {fps:.1f} fps",
+            file=sys.stderr,
         )
-    )
+        if not emitted:
+            emit(fps, "bf16")
 
 
 if __name__ == "__main__":

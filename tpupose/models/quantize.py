@@ -153,6 +153,29 @@ def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
     return out.astype(x.dtype)
 
 
+def uncalibrated_scales(params, skip_ids=()):
+    """absmax=1 activation scales for every conv — TIMING-ONLY.
+
+    Scale values are irrelevant to execution speed (the quantized program
+    is structurally identical), so benchmarks use this to skip the
+    calibration forward passes; real serving must `calibrate`."""
+    skip = set(skip_ids)
+    out = {}
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        if "weight" in node and getattr(node["weight"], "ndim", 0) == 4:
+            if id(node) not in skip:
+                out[id(node)] = 1.0
+            return
+        for v in node.values():
+            walk(v)
+
+    walk(params)
+    return out
+
+
 # -- model-level convenience --------------------------------------------------
 
 def hrnet_skip_ids(params):

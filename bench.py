@@ -132,7 +132,7 @@ def main():
 
     per_chip_target = 300.0 / 8.0
 
-    def emit(fps, mode):
+    def emit(fps, mode, **extra):
         print(
             json.dumps(
                 {
@@ -141,6 +141,7 @@ def main():
                     "value": round(fps, 3),
                     "unit": "frames/sec",
                     "vs_baseline": round(fps / per_chip_target, 3),
+                    **extra,
                 }
             ),
             flush=True,
@@ -176,21 +177,29 @@ def main():
             )
 
             bf16_det, bf16_pose = pipe.det_params, pipe.pose_params
-            pipe.det_params = quantize_convs(
-                bf16_det, uncalibrated_scales(bf16_det, yolo_skip_ids(bf16_det))
-            )
-            pipe.pose_params = quantize_convs(
-                bf16_pose,
-                uncalibrated_scales(bf16_pose, hrnet_skip_ids(bf16_pose)),
-            )
-            d0, m0 = pipe.process_clips_nn(clips_warm)  # compile int8 program
-            float(jnp.sum(d0))
-            del d0, m0
-            fps_q = combined_run(clips2, 30 * n_clips * F)
-            emit(fps_q, "int8 serving")
-            emitted = True
-            print(f"int8 combined -> {fps_q:.1f} fps", file=sys.stderr)
-            pipe.det_params, pipe.pose_params = bf16_det, bf16_pose
+            try:
+                pipe.det_params = quantize_convs(
+                    bf16_det,
+                    uncalibrated_scales(
+                        bf16_det, yolo_skip_ids(bf16_det, det_cfg)
+                    ),
+                )
+                pipe.pose_params = quantize_convs(
+                    bf16_pose,
+                    uncalibrated_scales(bf16_pose, hrnet_skip_ids(bf16_pose)),
+                )
+                d0, m0 = pipe.process_clips_nn(clips_warm)  # compile int8
+                float(jnp.sum(d0))
+                del d0, m0
+                fps_q = combined_run(clips2, 30 * n_clips * F)
+                emit(fps_q, "int8 serving",
+                     scales="uncalibrated-timing-only")
+                emitted = True
+                print(f"int8 combined -> {fps_q:.1f} fps", file=sys.stderr)
+            finally:
+                # always restore: the bf16 leg below must never time a
+                # (half-)quantized tree if this leg throws mid-swap
+                pipe.det_params, pipe.pose_params = bf16_det, bf16_pose
         except Exception as e:  # fall back to the bf16 headline
             print(f"int8 leg failed: {type(e).__name__}: {e}", file=sys.stderr)
 

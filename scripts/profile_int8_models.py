@@ -95,7 +95,7 @@ def main():
         yolov3_init(jax.random.PRNGKey(0), det_cfg), dtype=jnp.bfloat16
     )
     det_q = quantize_convs(
-        det_bf, collect_conv_ids(det_bf, yolo_skip_ids(det_bf))
+        det_bf, collect_conv_ids(det_bf, yolo_skip_ids(det_bf, det_cfg))
     )
 
     M = 160

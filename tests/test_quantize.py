@@ -111,15 +111,80 @@ def test_hrnet_int8_keypoints_subpixel_vs_bf16():
 
 
 def test_yolo_int8_boxes_close_to_bf16():
+    from tpupose.models.quantize import yolo_detection_head_names
+    from tpupose.models.yolov3 import yolov3_apply
+
     cfg = tiny_yolo_test_config()
     params = fold_batchnorm(yolov3_init(jax.random.PRNGKey(4), cfg))
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((2, cfg.input_size, cfg.input_size, 3)), jnp.float32)
+    # Raw random head weights produce |logit| ~ 1e4, i.e. exp(wh) overflow —
+    # nothing like a trained detector. Normalize each (float-kept) head conv
+    # so its logits sit at trained-model magnitudes (absmax ~ 3); backbone
+    # quantization error then shows up in the boxes at realistic sensitivity.
+    head_outs = yolov3_apply(params, cfg, x)
+    for h, out in zip(yolo_detection_head_names(cfg), head_outs):
+        s = 3.0 / float(jnp.max(jnp.abs(out)))
+        params[h]["conv"]["weight"] = params[h]["conv"]["weight"] * s
+        params[h]["conv"]["bias"] = params[h]["conv"]["bias"] * s
     qp = quantize_yolo(params, cfg, x)
     bf, sf, vf = detect_people(params, cfg, x, (cfg.input_size, cfg.input_size))
     bq, sq, vq = detect_people(qp, cfg, x, (cfg.input_size, cfg.input_size))
     # scores shift by at most a few percent of the sigmoid range
     assert float(jnp.max(jnp.abs(sf - sq))) < 0.1
+    # BOX fidelity across EVERY anchor/cell candidate, compared positionally
+    # on the raw heads (immune to top_k tie reordering between programs):
+    # centers in pixels, sizes in log space (pixel-space wh goes through
+    # exp(l)*anchor, which amplifies any drift unboundedly for the large
+    # anchors — log-space is the faithful sensitivity for box sizes).
+    heads_f = yolov3_apply(params, cfg, x)
+    heads_q = yolov3_apply(qp, cfg, x)
+    for hf, hq, anchors in zip(heads_f, heads_q, cfg.anchors):
+        n, gh, gw, _ = hf.shape
+        stride = cfg.input_size // gw
+        hf = np.asarray(hf).reshape(n, gh, gw, len(anchors), -1)
+        hq = np.asarray(hq).reshape(n, gh, gw, len(anchors), -1)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        center_px = np.abs(
+            sig(hf[..., :2]) - sig(hq[..., :2])
+        ).max() * stride
+        assert center_px < 0.02 * cfg.input_size, f"centers drift {center_px}px"
+        wh_log = np.abs(hf[..., 2:4] - hq[..., 2:4]).max()
+        assert wh_log < 0.15, (  # => box sizes within ~16% everywhere
+            f"log-wh drift {wh_log}"
+        )
+
+
+def test_skip_lists_are_structural():
+    # the float-kept YOLO convs must be EXACTLY the detection heads, for
+    # the full-size spec and the tiny test spec alike (guards against the
+    # spec list changing under a hard-coded name set)
+    from tpupose.models.quantize import (
+        hrnet_skip_ids,
+        yolo_detection_head_names,
+        yolo_skip_ids,
+    )
+    from tpupose.models.yolov3 import YoloConfig
+
+    for cfg in (YoloConfig(), tiny_yolo_test_config()):
+        heads = [
+            f"conv{i}"
+            for i, (_, _, _, bn) in enumerate(cfg.conv_specs)
+            if not bn
+        ]
+        assert list(yolo_detection_head_names(cfg)) == heads
+        assert len(heads) == 3  # three YOLO scales
+        params = {
+            h: {"conv": {"weight": np.zeros((1, 1, 1, 1))}}
+            for h in heads + ["conv0"]
+        }
+        assert yolo_skip_ids(params, cfg) == {
+            id(params[h]["conv"]) for h in heads
+        }
+
+    hcfg = tiny_test_config()
+    hp = hrnet_init(jax.random.PRNGKey(0), hcfg)
+    assert hrnet_skip_ids(hp) == {id(hp["final_layer"])}
 
 
 def test_quantized_pytree_is_jittable():

@@ -1,0 +1,182 @@
+"""Converter schema pinned against the REAL pretrained artifacts — offline.
+
+The accuracy story funnels through `load_hrnet_torch_checkpoint` /
+`load_darknet_weights` (tpupose/models/convert.py), which in production
+consume the official `pose_hrnet_w48_384x288.pth` and `yolov3.weights`
+(`/root/reference/src/configs/CampusSeq1/model_configs.yaml:38-57`,
+`/root/reference/README.md:72-80`). Those artifacts are not available in
+this environment, but their SCHEMAS are checkable offline:
+
+  * the official pose_hrnet state_dict key set + shapes are derived
+    independently in `tests/hrnet_manifest.py` (from the public pose_hrnet
+    module structure, incl. Sequential/ModuleList index nesting like
+    `transition1.1.0.0.weight`) and frozen in
+    `tests/fixtures/pose_hrnet_w48_384x288.keys.txt`;
+  * the real `yolov3.weights` payload is exactly 62,001,757 float32s
+    (248,007,048 file bytes minus the 20-byte v0.2 header — the public
+    download's size).
+
+These tests assert this framework's param trees/specs match both exactly,
+so a first real-weights run can only fail on numerics, never on layout.
+"""
+import math
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests.hrnet_manifest import (
+    manifest_lines,
+    official_pose_hrnet_w48_manifest,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "pose_hrnet_w48_384x288.keys.txt"
+)
+
+#: Public facts about the real artifacts.
+YOLOV3_WEIGHTS_FLOATS = 62_001_757      # payload float32 count
+YOLOV3_WEIGHTS_BYTES = 248_007_048      # = 20-byte header + 4 * floats
+POSE_HRNET_W48_TRAINABLE = 63_595_745   # the "63.6M" of the HRNet paper
+
+
+def _load_fixture():
+    with open(FIXTURE) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    out = {}
+    for ln in lines:
+        key, shape = ln.split(" ")
+        out[key] = () if shape == "scalar" else tuple(
+            int(d) for d in shape.split("x")
+        )
+    return out
+
+
+def test_fixture_is_fresh():
+    # the committed fixture must equal the rule-based generator's output —
+    # neither can drift without the other noticing
+    with open(FIXTURE) as f:
+        on_disk = [ln.rstrip("\n") for ln in f if ln.strip()]
+    assert on_disk == manifest_lines(official_pose_hrnet_w48_manifest())
+
+
+def test_manifest_param_counts_match_public_numbers():
+    m = official_pose_hrnet_w48_manifest()
+    trainable = sum(
+        math.prod(s)
+        for k, s in m
+        if not k.endswith(
+            ("running_mean", "running_var", "num_batches_tracked")
+        )
+    )
+    assert trainable == POSE_HRNET_W48_TRAINABLE
+
+
+@pytest.fixture(scope="module")
+def w48_tree_shapes():
+    """Key -> torch-layout shape for this framework's W48 init tree, via
+    the converter's inverse (`tree_to_torch_state_dict`). Shape-only
+    (eval_shape): no 63M-param materialization needed."""
+    from tpupose.models.convert import tree_to_torch_state_dict
+    from tpupose.models.hrnet import hrnet_init, hrnet_w48_config
+
+    tree = jax.eval_shape(
+        lambda: hrnet_init(jax.random.PRNGKey(0), hrnet_w48_config())
+    )
+
+    out = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                shape = tuple(v.shape)
+                if len(shape) == 4 and name.endswith("weight"):
+                    # converter transposes HWIO -> OIHW on export
+                    h, w, i, o = shape
+                    shape = (o, i, h, w)
+                out[name] = shape
+        return out
+
+    # mirror tree_to_torch_state_dict's naming on shape structs
+    assert tree_to_torch_state_dict is not None
+    return walk(tree, "")
+
+
+def test_hrnet_w48_keys_match_official_checkpoint(w48_tree_shapes):
+    manifest = _load_fixture()
+    expected = {
+        k: s for k, s in manifest.items()
+        if not k.endswith("num_batches_tracked")
+    }
+    got = w48_tree_shapes
+    missing = sorted(set(expected) - set(got))
+    extra = sorted(set(got) - set(expected))
+    assert not missing, f"keys the real .pth has but the tree lacks: {missing[:10]}"
+    assert not extra, f"keys the tree has but the real .pth lacks: {extra[:10]}"
+
+
+def test_hrnet_w48_shapes_match_official_checkpoint(w48_tree_shapes):
+    manifest = _load_fixture()
+    bad = [
+        (k, w48_tree_shapes[k], s)
+        for k, s in manifest.items()
+        if not k.endswith("num_batches_tracked")
+        and w48_tree_shapes[k] != s
+    ]
+    assert not bad, f"shape mismatches (key, tree, official): {bad[:10]}"
+
+
+def test_hrnet_official_state_dict_loads_into_tree_structure():
+    """`torch_state_dict_to_tree` fed a state dict with EXACTLY the official
+    keys must produce the init tree's nesting + HWIO shapes (so
+    `hrnet_apply` can consume a real checkpoint directly)."""
+    from tpupose.models.convert import torch_state_dict_to_tree
+    from tpupose.models.hrnet import hrnet_init, hrnet_w48_config
+
+    manifest = _load_fixture()
+    sd = {
+        k: np.zeros(s, np.float32)
+        for k, s in manifest.items()
+    }
+    tree = torch_state_dict_to_tree(sd)
+    want = jax.eval_shape(
+        lambda: hrnet_init(jax.random.PRNGKey(0), hrnet_w48_config())
+    )
+    got_paths = {
+        jax.tree_util.keystr(p): tuple(v.shape)
+        for p, v in jax.tree_util.tree_leaves_with_path(tree)
+    }
+    want_paths = {
+        jax.tree_util.keystr(p): tuple(v.shape)
+        for p, v in jax.tree_util.tree_leaves_with_path(want)
+    }
+    assert got_paths == want_paths
+
+
+def test_yolov3_weights_payload_size():
+    """The real yolov3.weights payload must map 1:1 onto conv_specs."""
+    from tpupose.models.yolov3 import YoloConfig, conv_in_channels
+
+    cfg = YoloConfig()
+    total = 0
+    for (cout, k, s, bn), cin in zip(cfg.conv_specs, conv_in_channels(cfg)):
+        total += (4 * cout if bn else cout) + cout * cin * k * k
+    assert total == YOLOV3_WEIGHTS_FLOATS
+    assert 12 + 8 + 4 * total == YOLOV3_WEIGHTS_BYTES  # v0.2 header is 20 B
+
+
+def test_yolov3_head_conv_shapes():
+    """The three detection convs must be 255-channel 1x1 (3*(5+80)) fed by
+    1024/512/256 — the real file's layout at those offsets."""
+    from tpupose.models.yolov3 import YoloConfig, conv_in_channels
+
+    cfg = YoloConfig()
+    specs, cins = cfg.conv_specs, conv_in_channels(cfg)
+    for idx, cin_want in ((58, 1024), (66, 512), (74, 256)):
+        cout, k, s, bn = specs[idx]
+        assert (cout, k, bn) == (255, 1, False)
+        assert cins[idx] == cin_want

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import time as _time
 
 import numpy as np
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ from tpupose.utils.timing import StageTimer
 
 def build_pipeline_real(cfg: Config, camera_parameter, width, height):
     from tpupose.models.convert import load_darknet_weights, load_hrnet_torch_checkpoint
+    from tpupose.models.layers import fold_batchnorm
 
     cams = Pipeline.camera_set_from_parameter_dict(
         camera_parameter, width, height, num_cameras=len(cfg.dataset.folders_order)
@@ -32,6 +34,12 @@ def build_pipeline_real(cfg: Config, camera_parameter, width, height):
     det_params, _ = load_darknet_weights(cfg.detect_model.weight, det_cfg)
     pose_cfg = hrnet_config_from(cfg)
     pose_params = load_hrnet_torch_checkpoint(cfg.pose_model.checkpoint_file)
+    # Serve BN-folded bf16 params: exact for frozen statistics, halves param
+    # HBM traffic, and satisfies `quantize_convs`' BN-folded contract so the
+    # CLI --int8 path matches the documented perf+accuracy configuration
+    # (docs/PERF.md; tpupose/models/quantize.py:99-110).
+    det_params = fold_batchnorm(det_params, dtype=jnp.bfloat16)
+    pose_params = fold_batchnorm(pose_params, dtype=jnp.bfloat16)
     return Pipeline(
         cams=cams, tracker_cfg=tcfg, det_cfg=det_cfg, det_params=det_params,
         pose_cfg=pose_cfg, pose_params=pose_params,
@@ -99,10 +107,17 @@ def device_prefetch(frame_source, depth: int = 2):
 
 
 def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer,
-                  prefetch: bool = True):
+                  prefetch: bool = True, clip: int = 0):
     """Per-frame loop accumulating 3D predictions and 2D annotations.
 
     frame_source yields (frame_id, timestamp, images|None, dets|None, mask|None).
+
+    clip > 1 buffers that many image frames and runs them through the
+    two-stage clip pipeline (`Pipeline.process_clip`: batched NN + scanned
+    tracker — the configuration the throughput benchmark times), falling
+    back to per-frame processing for a trailing partial clip and for replay
+    items. Results are identical to the per-frame path (pinned by
+    tests/test_real_data_path.py::test_cli_clip_mode_matches_frame_mode).
 
     FrameOutputs stay on device during the loop and are harvested in one
     batched fetch at the end — host<->device syncs per frame are expensive
@@ -111,29 +126,59 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer,
     import jax
 
     if prefetch:
-        frame_source = device_prefetch(frame_source)
-    outs = []
+        # prefetch at least a clip ahead so the NN stage never starves
+        frame_source = device_prefetch(frame_source, depth=max(2, clip))
+    chunks = []  # FrameOutput pytrees with a leading frame axis
     keys = []
     frame_ids = []
     timestamps = []
     is_panoptic = cfg.dataset.test_dataset == "Panoptic"
+    buf = []  # (frame_id, images) buffered for clip mode
+
+    def flush_clip():
+        if not buf:
+            return
+        if len(buf) == clip:
+            fids = np.asarray([b[0] for b in buf], np.int32)
+            imgs = jnp.stack([b[1] for b in buf])
+            start = _time.perf_counter()
+            outs, _, _ = pipe.process_clip(fids, imgs)
+            timer.add("track", _time.perf_counter() - start,
+                      count=len(buf))
+            chunks.append(outs)
+        else:  # trailing partial clip: per-frame (state evolution identical)
+            for fid, images in buf:
+                with timer.time("track"):
+                    out, _, _ = pipe.process_frame(fid, images)
+                chunks.append(jax.tree.map(lambda x: x[None], out))
+        buf.clear()
+
     for frame_id, timestamp, images, dets, mask in frame_source:
-        if images is not None:
+        if images is not None and clip > 1:
+            buf.append((frame_id, images))
+            if len(buf) == clip:
+                flush_clip()
+        elif images is not None:
             with timer.time("track"):
                 out, dets, mask = pipe.process_frame(frame_id, images)
+            chunks.append(jax.tree.map(lambda x: x[None], out))
         else:
+            flush_clip()  # keep frame order if sources are mixed
             with timer.time("track"):
                 out = pipe.person_track(frame_id, jnp.asarray(dets), jnp.asarray(mask))
-        outs.append(out)
+            chunks.append(jax.tree.map(lambda x: x[None], out))
         keys.append(timestamp if is_panoptic else frame_id)
         frame_ids.append(frame_id)
         timestamps.append(timestamp)
+    flush_clip()
 
     multi_poses3d = {}
     annotations = []
-    if not outs:
+    if not chunks:
         return multi_poses3d, annotations
-    stacked = jax.tree.map(lambda *xs: np.asarray(jnp.stack(xs)), *outs)
+    stacked = jax.tree.map(
+        lambda *xs: np.asarray(jnp.concatenate(xs, axis=0)), *chunks
+    )
     for i, key in enumerate(keys):
         out_i = jax.tree.map(lambda x: x[i], stacked)
         pts3d, ids, anns = pipe.harvest(

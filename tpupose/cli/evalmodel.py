@@ -40,10 +40,17 @@ def main(argv=None):
                         help="cached 2D detections dump pickle (reference "
                              "dump format); skips the NN backends")
     parser.add_argument("--frames", type=int, default=120)
+    parser.add_argument("--clip", type=int, default=0,
+                        help="buffer N frames and run them through the "
+                             "two-stage clip pipeline (batched NN + scanned "
+                             "tracker) — the benchmark's throughput shape; "
+                             "0 = per-frame")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode: post-training-quantize the "
-                             "backbones, calibrating on the first frame's "
-                             "views (tpupose.models.quantize)")
+                             "backbones (tpupose.models.quantize)")
+    parser.add_argument("--int8-calib", type=int, default=1,
+                        help="number of leading frames whose views feed the "
+                             "--int8 activation-scale calibration pass")
     args = parser.parse_args(argv)
 
     timer = StageTimer()
@@ -74,6 +81,8 @@ def main(argv=None):
         )
         image_hw = (height, width)
     else:
+        import numpy as np
+
         source = dataset_frame_source(cfg)
         # peek first frame for image size
         first = next(source)
@@ -81,17 +90,29 @@ def main(argv=None):
         pipe = build_pipeline_real(
             cfg, camera_parameter, images0.shape[2], images0.shape[1]
         )
+        head = [first]
         if args.int8:
-            pipe.quantize_models(images0)
+            # calibrate activation scales on the first --int8-calib frames'
+            # views (all consumed frames are replayed into the eval loop)
+            while len(head) < max(args.int8_calib, 1):
+                try:
+                    head.append(next(source))
+                except StopIteration:
+                    break
+            pipe.quantize_models(
+                np.concatenate([item[2] for item in head], axis=0)
+            )
         image_hw = (images0.shape[1], images0.shape[2])
 
-        def chained(first=first, source=source):
-            yield first
+        def chained(head=head, source=source):
+            yield from head
             yield from source
 
         source = chained()
 
-    multi_poses3d, annotations = run_eval_loop(cfg, pipe, source, timer)
+    multi_poses3d, annotations = run_eval_loop(
+        cfg, pipe, source, timer, clip=args.clip
+    )
 
     pkl = result_path(cfg)
     write_3d_result(multi_poses3d, pkl)

@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--save-images", action="store_true")
+    parser.add_argument("--clip", type=int, default=0,
+                        help="buffer N frames through the two-stage clip "
+                             "pipeline (the benchmark's throughput shape); "
+                             "0 = per-frame")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode (PTQ, calibrated on the "
                              "first frame's views)")
@@ -60,24 +64,50 @@ def main(argv=None):
         yield first
         yield from source
 
+    def save_overlays(out, frame_id, timestamp, images):
+        _, ids, anns = pipe.harvest(out, frame_id, timestamp)
+        vis = {c: images[c].copy() for c in range(images.shape[0])}
+        for ann in anns:
+            vis[ann["cid"]] = draw_skeleton_overlay(
+                vis[ann["cid"]], ann["pose"], ann["scores"], ann["pid"]
+            )
+        from PIL import Image
+
+        for c, img in vis.items():
+            Image.fromarray(img).save(
+                os.path.join(out_dir, f"{timestamp}_cam{c}.jpg")
+            )
+
     n = 0
-    for frame_id, timestamp, images, _, _ in frames():
+    if args.clip > 1:
+        import jax
+
+        buf = []
+        for item in frames():
+            buf.append(item)
+            if len(buf) < args.clip:
+                continue
+            fids = np.asarray([b[0] for b in buf], np.int32)
+            with timer.time("track"):
+                outs, _, _ = pipe.process_clip(
+                    fids, np.stack([b[2] for b in buf])
+                )
+            timer.counts["track"] += len(buf) - 1  # report per-frame
+            n += len(buf)
+            if args.save_images and cfg.save_image:
+                for t, (fid, ts, images, _, _) in enumerate(buf):
+                    out_t = jax.tree.map(lambda x: x[t], outs)
+                    save_overlays(out_t, fid, ts, images)
+            buf.clear()
+        trailing = buf
+    else:
+        trailing = frames()
+    for frame_id, timestamp, images, _, _ in trailing:
         with timer.time("track"):
             out, dets, mask = pipe.process_frame(frame_id, images)
         n += 1
         if args.save_images and cfg.save_image:
-            _, ids, anns = pipe.harvest(out, frame_id, timestamp)
-            vis = {c: images[c].copy() for c in range(images.shape[0])}
-            for ann in anns:
-                vis[ann["cid"]] = draw_skeleton_overlay(
-                    vis[ann["cid"]], ann["pose"], ann["scores"], ann["pid"]
-                )
-            from PIL import Image
-
-            for c, img in vis.items():
-                Image.fromarray(img).save(
-                    os.path.join(out_dir, f"{timestamp}_cam{c}.jpg")
-                )
+            save_overlays(out, frame_id, timestamp, images)
     print(f"processed {n} frames")
     print(timer.report(num_views=len(cfg.dataset.folders_order)))
 

@@ -187,12 +187,22 @@ def hrnet_skip_ids(params):
     return {id(params["final_layer"])}
 
 
-def yolo_skip_ids(params):
+def yolo_detection_head_names(cfg):
+    """Names of the detection-head convs, selected STRUCTURALLY: the heads
+    are exactly the bias-carrying convs of the darknet spec (bn=False —
+    `_conv_specs` marks only the three detection outputs that way), so the
+    set tracks any spec change instead of hard-coding indices."""
+    return tuple(
+        f"conv{i}" for i, (_, _, _, bn) in enumerate(cfg.conv_specs) if not bn
+    )
+
+
+def yolo_skip_ids(params, cfg):
     """Conv dicts to keep in float for YOLOv3: the detection heads (box
     regression consumes their raw values). conv0 quantizes fine — its
     input is uint8/255 — and its 416x416x32 output is the most
     padding-inflated tensor in the whole pipeline (32 -> 128 lanes)."""
-    return {id(params[h]["conv"]) for h in ("conv58", "conv66", "conv74")}
+    return {id(params[h]["conv"]) for h in yolo_detection_head_names(cfg)}
 
 
 def quantize_hrnet(params, cfg, sample_batch):
@@ -208,4 +218,4 @@ def quantize_yolo(params, cfg, sample_batch):
     from tpupose.models.yolov3 import yolov3_apply
 
     scales = calibrate(lambda x: yolov3_apply(params, cfg, x), sample_batch)
-    return quantize_convs(params, scales, yolo_skip_ids(params))
+    return quantize_convs(params, scales, yolo_skip_ids(params, cfg))

@@ -33,11 +33,15 @@ def _resample_matmul(img, ys, xs):
     """Separable bilinear resample of img (H, W, C) at row coords ys (out_h,)
     and col coords xs (out_w,), as two matmuls.
 
-    Computes in the image's dtype (bf16 images keep the whole resample in
-    bf16 — halves HBM traffic; the MXU accumulates in f32 either way)."""
+    Computes in the image's dtype when floating (bf16 images keep the whole
+    resample in bf16 — halves HBM traffic; the MXU accumulates in f32 either
+    way). Integer images promote to f32: fractional bilinear weights would
+    truncate to 0/1 in an integer dtype."""
     h, w, _ = img.shape
-    wy = _bilinear_weight_matrix(ys, h).astype(img.dtype)  # (out_h, H)
-    wx = _bilinear_weight_matrix(xs, w).astype(img.dtype)  # (out_w, W)
+    dt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    img = img.astype(dt)
+    wy = _bilinear_weight_matrix(ys, h).astype(dt)  # (out_h, H)
+    wx = _bilinear_weight_matrix(xs, w).astype(dt)  # (out_w, W)
     # (out_h, H) @ (H, W*C) -> (out_h, W, C); then contract W with wx.
     tmp = jnp.einsum("oh,hwc->owc", wy, img)
     return jnp.einsum("pw,owc->opc", wx, tmp)

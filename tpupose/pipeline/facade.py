@@ -154,7 +154,10 @@ class Pipeline:
 
             @jax.jit
             def fn(params, images):
-                x = images.astype(jnp.float32) / 255.0
+                # same bf16 preprocessing as the fused frame/clip programs
+                # (_clip_detections) so staged detections cannot drift from
+                # them on borderline score/NMS decisions
+                x = images.astype(jnp.bfloat16) / 255.0
                 x = prepare_yolo_images(det_cfg, x)
                 return detect_people(
                     params, det_cfg, x, (images.shape[1], images.shape[2])
@@ -177,10 +180,13 @@ class Pipeline:
                 c, k = boxes.shape[0], boxes.shape[1]
                 aspect = in_h / in_w
                 eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), aspect)
+                # bf16 crop path, pinned to _clip_detections' preprocessing
                 crops = jax.vmap(
                     lambda img, bxs: crop_and_resize(img, bxs, (in_h, in_w))
-                )(images.astype(jnp.float32), eboxes.reshape(c, k, 4))
-                crops = normalize_image(crops.reshape(c * k, in_h, in_w, 3))
+                )(images.astype(jnp.bfloat16) / 255.0, eboxes.reshape(c, k, 4))
+                crops = normalize_image(
+                    crops.reshape(c * k, in_h, in_w, 3), value_scale=1.0
+                )
                 heat = hrnet_apply(params, pose_cfg, crops)
                 kps = decode_heatmaps_auto(heat, eboxes)
                 return kps.reshape(c, k, pose_cfg.num_joints, 3)

@@ -26,9 +26,9 @@ class StageTimer:
         self.totals[stage] = self.totals.get(stage, 0.0) + time.perf_counter() - start
         self.counts[stage] = self.counts.get(stage, 0) + 1
 
-    def add(self, stage: str, seconds: float):
+    def add(self, stage: str, seconds: float, count: int = 1):
         self.totals[stage] = self.totals.get(stage, 0.0) + seconds
-        self.counts[stage] = self.counts.get(stage, 0) + 1
+        self.counts[stage] = self.counts.get(stage, 0) + count
 
     def per_frame(self, stage: str):
         c = self.counts.get(stage, 0)

@@ -89,25 +89,43 @@ def test_calibrate_records_every_conv_and_skips():
 
 
 def test_hrnet_int8_keypoints_subpixel_vs_bf16():
+    from tpupose.models.quantize import calibrate_bn_stats
     from tpupose.ops.heatmap import decode_heatmaps
 
     cfg = tiny_test_config()
-    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(2), cfg))
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.random((4, *cfg.input_size, 3)), jnp.float32)
+    # give the random weights trained-network activation statistics first
+    # (identity BN stats let the residual stream's variance compound with
+    # depth, which no deployed checkpoint resembles and which makes the
+    # heatmaps near-tie noise fields — argmax agreement on those is a coin
+    # with a slight bias, not a quantization-quality signal)
+    raw = hrnet_init(jax.random.PRNGKey(2), cfg)
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+    params = fold_batchnorm(raw)
     qp = quantize_hrnet(params, cfg, x)
 
-    heat_f = hrnet_apply(params, cfg, x)
-    heat_q = hrnet_apply(qp, cfg, x)
+    heat_f = np.asarray(hrnet_apply(params, cfg, x))
+    heat_q = np.asarray(hrnet_apply(qp, cfg, x))
+    # HEATMAP VALUE error is what quantization perturbs; assert on it
+    # directly (measured ~0.5% of range). A random net's heatmaps have no
+    # peaks, so argmax agreement there is tie-flipping noise — the argmax
+    # claim for trained peaky maps lives in test_int8_learned_accuracy.py.
+    rng_h = heat_f.max() - heat_f.min()
+    err = np.abs(heat_f - heat_q) / rng_h
+    assert np.quantile(err, 0.99) < 0.02, np.quantile(err, 0.99)
+    assert np.median(err) < 0.002, np.median(err)
     boxes = jnp.tile(
         jnp.asarray([[0.0, 0.0, cfg.heatmap_size[1], cfg.heatmap_size[0]]]),
         (4, 1),
     )
-    kf = np.asarray(decode_heatmaps(heat_f, boxes))
-    kq = np.asarray(decode_heatmaps(heat_q, boxes))
-    # positions within 1 heatmap px for the overwhelming majority of joints
+    kf = np.asarray(decode_heatmaps(jnp.asarray(heat_f), boxes))
+    kq = np.asarray(decode_heatmaps(jnp.asarray(heat_q), boxes))
+    # even on near-tie fields, most argmaxes should survive (sanity floor)
     d = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
-    assert np.mean(d <= 1.0) >= 0.9, f"mean agreement {np.mean(d <= 1.0)}"
+    assert np.mean(d <= 1.0) >= 0.7, f"mean agreement {np.mean(d <= 1.0)}"
 
 
 def test_yolo_int8_boxes_close_to_bf16():
@@ -155,6 +173,32 @@ def test_yolo_int8_boxes_close_to_bf16():
         )
 
 
+def test_calibrate_bn_stats_normalizes_activations():
+    # An unnormalized random residual stack blows activations up
+    # exponentially with depth; after BN re-estimation every conv input is
+    # O(1) — the statistics a trained+BN checkpoint has. (This underpins
+    # the W48-scale int8 agreement check, scripts/int8_w48_agreement.py.)
+    from tpupose.models.quantize import calibrate, calibrate_bn_stats
+
+    cfg = tiny_test_config()
+    raw = hrnet_init(jax.random.PRNGKey(11), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(12).random((4, *cfg.input_size, 3)),
+        jnp.float32,
+    )
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+    params = fold_batchnorm(raw)
+    scales = calibrate(
+        lambda b: hrnet_apply(params, cfg, b, compute_dtype=jnp.float32), x
+    )
+    vals = np.asarray(list(scales.values()))
+    assert (vals < 50.0).all() and (vals > 1e-3).all(), (
+        vals.min(), vals.max()
+    )
+
+
 def test_skip_lists_are_structural():
     # the float-kept YOLO convs must be EXACTLY the detection heads, for
     # the full-size spec and the tiny test spec alike (guards against the
@@ -185,6 +229,97 @@ def test_skip_lists_are_structural():
     hcfg = tiny_test_config()
     hp = hrnet_init(jax.random.PRNGKey(0), hcfg)
     assert hrnet_skip_ids(hp) == {id(hp["final_layer"])}
+
+
+def test_int8_resident_block_matches_generic_path():
+    # The fused serving block (conv1 epilogue requantizes straight to int8,
+    # the inter-conv tensor never materializes in bf16 — docs/PERF.md r3:
+    # 1.60x) must agree with the generic quantized composition to within
+    # the quantization step: both round the same quantity, the fused path
+    # in f32 and the generic path in bf16.
+    from tpupose.models.quantize import quantized_basic_block
+
+    rng = np.random.default_rng(21)
+    C = 8
+    p = {
+        "conv1": {
+            "weight": jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+        },
+        "conv2": {
+            "weight": jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+        },
+    }
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)), jnp.float32)
+    mid = jax.nn.relu(conv_apply(p["conv1"], x))
+    scales = {
+        id(p["conv1"]): float(jnp.max(jnp.abs(x))),
+        id(p["conv2"]): float(jnp.max(jnp.abs(mid))),
+    }
+    q = quantize_convs(p, scales)
+
+    fused = np.asarray(quantized_basic_block(q, x))
+    generic = np.asarray(
+        jax.nn.relu(
+            conv_apply(q["conv2"], jax.nn.relu(conv_apply(q["conv1"], x))) + x
+        )
+    )
+    step = scales[id(p["conv2"])] / 127.0  # one int8 code of the mid tensor
+    # a 1-code difference in the mid tensor moves the output by at most
+    # step * sum|w2| along any output channel; bound loosely by 3 codes
+    w2_l1 = float(np.abs(np.asarray(p["conv2"]["weight"])).sum(axis=(0, 1, 2)).max())
+    assert np.max(np.abs(fused - generic)) <= 3 * step * w2_l1, (
+        np.max(np.abs(fused - generic)), step, w2_l1
+    )
+    # and the fused path must still be a REAL basic block: nonneg after relu
+    assert (fused >= 0).all()
+
+
+def test_int8_resident_dispatch_in_hrnet():
+    # with cfg.int8_resident=True (opt-in: measured 0.94x whole-model on
+    # this chip — docs/PERF.md r3), every basic/bottleneck block must
+    # route through the fused path (bn folded, both convs quantized) —
+    # guard against a silent fall-back to the generic path.
+    import dataclasses
+
+    from tpupose.models import quantize as quant_mod
+
+    cfg = dataclasses.replace(tiny_test_config(), int8_resident=True)
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(8), cfg))
+    x = jnp.ones((1, *cfg.input_size, 3), jnp.float32) * 0.5
+    qp = quantize_hrnet(params, cfg, x)
+
+    calls = {"basic": 0, "bottleneck": 0}
+    orig_basic = quant_mod.quantized_basic_block
+    orig_bneck = quant_mod.quantized_bottleneck
+
+    def count_basic(p, v):
+        calls["basic"] += 1
+        return orig_basic(p, v)
+
+    def count_bneck(p, v):
+        calls["bottleneck"] += 1
+        return orig_bneck(p, v)
+
+    quant_mod.quantized_basic_block = count_basic
+    quant_mod.quantized_bottleneck = count_bneck
+    # hrnet imports them inside the function, so patching the module works
+    try:
+        hrnet_apply(qp, cfg, x)
+    finally:
+        quant_mod.quantized_basic_block = orig_basic
+        quant_mod.quantized_bottleneck = orig_bneck
+    n_basic = sum(
+        len(mod["branches"][b])
+        for s in ("stage2", "stage3", "stage4")
+        for mod in qp[s].values()
+        for b in mod["branches"]
+    )
+    assert calls["basic"] == n_basic and n_basic > 0
+    assert calls["bottleneck"] == cfg.layer1_blocks
 
 
 def test_quantized_pytree_is_jittable():

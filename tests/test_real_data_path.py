@@ -249,6 +249,31 @@ def test_panoptic_replay_eval_cli_full_path(tmp_path, capsys):
     assert "100.00" in ap_row, out
 
 
+def test_panoptic_nn_eval_cli_full_path(tmp_path, capsys):
+    """Full eval CLI on MiniPanoptic through the REAL NN backends (tiny
+    fabricated .weights/.pth): the last untraversed CLI combination
+    (Panoptic x NN mode — reference `src/evalmodel.py:208-350`). Random
+    weights give garbage accuracy; the assertion is that the whole path
+    executes and the AP/Recall/MPJPE scorer runs on NN-produced
+    timestamp-keyed predictions."""
+    import torch  # noqa: F401  (skip cleanly if torch is unavailable)
+
+    from tpupose.cli import evalmodel
+    from tpupose.data.fabricate import fabricate_mini_panoptic
+
+    cfg_path, paths = fabricate_mini_panoptic(
+        tmp_path / "minipanoptic_nn", with_weights=True
+    )
+    assert paths.get("hrnet_checkpoint"), "tiny .pth missing"
+    evalmodel.main([
+        "--dataset", "Panoptic", "--config-dir", paths["config_dir"],
+        "--clip", "6",  # NN path through the clip pipeline as deployed
+    ])
+    out = capsys.readouterr().out
+    assert "MPJPE" in out, out
+    assert "AP" in out, out
+
+
 def test_panoptic_gt_loader_roundtrip(tmp_path):
     """The fabricated GT jsons invert the loader's axis swap + scaling
     exactly (loader output == coco2panoptic14(gt3d) in mm)."""

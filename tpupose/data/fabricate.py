@@ -150,33 +150,7 @@ def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
             "TEST_RANGE": [0, scene.num_frames],
             "EVAL_RANGE": [5, scene.num_frames],
         },
-        "DETECT_MODELS": {
-            "YOLOV3": {
-                "NAME": "YOLOv3",
-                "WEIGHT": paths.get("yolo_weights", ""),
-                "SCORE_THRESH": 0.3,
-                "NMS_THRESH": 0.4,
-                "WIDTH_MULT": 1 / 16,
-                "NUM_CLASSES": 2,
-                "INPUT_SIZE": 64,
-                "MAX_CANDIDATES": 8,
-            },
-        },
-        "POSE_MODELS": {
-            "HRPOSE": {
-                "NAME": "HRPose",
-                "C": 8,
-                "NUM_JOINTS": 17,
-                "CHECKPOINT_FILE": paths.get("hrnet_checkpoint", ""),
-                "MODEL_NAME": "HRNet",
-                "RESOLUTION": [96, 64],
-                "STEM_CHANNELS": 16,
-                "LAYER1_BLOCKS": 1,
-                "LAYER1_PLANES": 8,
-                "STAGE_MODULES": [1, 1, 1],
-                "STAGE_BLOCKS": 1,
-            },
-        },
+        **_tiny_model_cfg_sections(paths),
         "PERSON_MATCHERS": {
             "ITERATIVE": {
                 "NAME": "Iterative",
@@ -209,8 +183,44 @@ def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
     return cfg_path, paths
 
 
+def _tiny_model_cfg_sections(paths):
+    """DETECT_MODELS / POSE_MODELS config sections for the fabricated tiny
+    checkpoints (shared by MiniCampus and MiniPanoptic so the NN path is
+    configured identically on both)."""
+    return {
+        "DETECT_MODELS": {
+            "YOLOV3": {
+                "NAME": "YOLOv3",
+                "WEIGHT": paths.get("yolo_weights", ""),
+                "SCORE_THRESH": 0.3,
+                "NMS_THRESH": 0.4,
+                "WIDTH_MULT": 1 / 16,
+                "NUM_CLASSES": 2,
+                "INPUT_SIZE": 64,
+                "MAX_CANDIDATES": 8,
+            },
+        },
+        "POSE_MODELS": {
+            "HRPOSE": {
+                "NAME": "HRPose",
+                "C": 8,
+                "NUM_JOINTS": 17,
+                "CHECKPOINT_FILE": paths.get("hrnet_checkpoint", ""),
+                "MODEL_NAME": "HRNet",
+                "RESOLUTION": [96, 64],
+                "STEM_CHANNELS": 16,
+                "LAYER1_BLOCKS": 1,
+                "LAYER1_PLANES": 8,
+                "STAGE_MODULES": [1, 1, 1],
+                "STAGE_BLOCKS": 1,
+            },
+        },
+    }
+
+
 def fabricate_mini_panoptic(root, scene=None, num_frames=24, seed=0,
-                            gt_start=5, image_format="jpg"):
+                            gt_start=5, image_format="jpg",
+                            with_weights=False):
     """Mini-dataset in the CMU Panoptic layout: timestamped frame names
     (`hd_00_XX_<t:08d>.jpg` — timestamp parsed from the last `_` suffix,
     `src/dataset.py:37-40`), `hdPose3d_stage1_coco19/body3DScene_*.json` GT
@@ -278,6 +288,10 @@ def fabricate_mini_panoptic(root, scene=None, num_frames=24, seed=0,
     dump_path = os.path.join(root, "detections_dump.pkl")
     save_detection_dump(dump_path, dump)
 
+    paths = {"root": root, "dump": dump_path}
+    if with_weights:
+        paths.update(_fabricate_tiny_weights(root))
+
     cfg = {
         "TEST_FUNCTION": "PersonTrack_Project3DPose",
         "PIPELINE_COMBINATION": {
@@ -296,8 +310,7 @@ def fabricate_mini_panoptic(root, scene=None, num_frames=24, seed=0,
             "TEST_RANGE": [0, scene.num_frames],
             "EVAL_RANGE": [[0, scene.num_frames]],
         },
-        "DETECT_MODELS": {"YOLOV3": {"NAME": "YOLOv3", "WEIGHT": ""}},
-        "POSE_MODELS": {"HRPOSE": {"NAME": "HRPose", "C": 8}},
+        **_tiny_model_cfg_sections(paths),
         "PERSON_MATCHERS": {
             "ITERATIVE": {
                 "NAME": "Iterative", "EPI_THRESHOLD": 25, "INIT_THRESHOLD": 15,
@@ -314,10 +327,9 @@ def fabricate_mini_panoptic(root, scene=None, num_frames=24, seed=0,
     cfg_path = os.path.join(cfg_dir, "model_configs.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
-    return cfg_path, {
-        "root": root, "dump": dump_path, "yaml": cfg_path,
-        "config_dir": os.path.join(root, "configs"),
-    }
+    paths["yaml"] = cfg_path
+    paths["config_dir"] = os.path.join(root, "configs")
+    return cfg_path, paths
 
 
 def _fabricate_tiny_weights(root):

@@ -37,6 +37,17 @@ class HRNetConfig:
     layer1_planes: int = 64
     stage_modules: tuple = (1, 4, 3)  # stages 2, 3, 4
     stage_blocks: int = 4
+    #: Serve the C=width high-res branch width-packed (x2 channels, W/2):
+    #: ~2x fewer MXU cycles + ~2x less padded HBM traffic for width<=64
+    #: (tpupose.ops.packing). Requires a tree transformed by
+    #: `pack_hrnet_branch0`; exact reparameterization (docs/PERF.md r3).
+    pack_branch0: bool = False
+    #: Fused int8-resident blocks (requantize in the conv epilogue so the
+    #: inter-conv tensor moves as int8). Measured 1.60x on the isolated
+    #: branch-1 block but 0.94x on the WHOLE model — XLA already
+    #: output-fuses the generic dequant->relu->requant chain in
+    #: straight-line model code — so default off (docs/PERF.md r3).
+    int8_resident: bool = False
 
     @property
     def branch_channels(self):
@@ -194,7 +205,20 @@ def hrnet_init(key, cfg: HRNetConfig):
 
 # -- forward -----------------------------------------------------------------
 
-def _basic_block(p, x):
+def _basic_block(p, x, resident=False):
+    if resident:
+        from tpupose.models.quantize import (
+            is_quantized_conv,
+            quantized_basic_block,
+        )
+
+        if (
+            is_quantized_conv(p["conv1"])
+            and is_quantized_conv(p["conv2"])
+            and not p.get("bn1")  # folded (the quantizer contract); a live
+            and not p.get("bn2")  # BN between the convs forbids the fusion
+        ):
+            return quantized_basic_block(p, x)
     y = jax.nn.relu(bn_apply(p["bn1"], conv_apply(p["conv1"], x)))
     y = bn_apply(p["bn2"], conv_apply(p["conv2"], y))
     skip = x
@@ -203,7 +227,17 @@ def _basic_block(p, x):
     return jax.nn.relu(y + skip)
 
 
-def _bottleneck(p, x):
+def _bottleneck(p, x, resident=False):
+    if resident:
+        from tpupose.models.quantize import (
+            is_quantized_conv,
+            quantized_bottleneck,
+        )
+
+        if all(
+            is_quantized_conv(p[c]) for c in ("conv1", "conv2", "conv3")
+        ) and not (p.get("bn1") or p.get("bn2") or p.get("bn3")):
+            return quantized_bottleneck(p, x)
     y = jax.nn.relu(bn_apply(p["bn1"], conv_apply(p["conv1"], x)))
     y = jax.nn.relu(bn_apply(p["bn2"], conv_apply(p["conv2"], y)))
     y = bn_apply(p["bn3"], conv_apply(p["conv3"], y))
@@ -238,12 +272,18 @@ def _fuse_apply(fuse, xs, out_branches):
     return outs
 
 
-def _module_apply(p, xs, out_branches):
+def _module_apply(p, xs, out_branches, pack0=False, resident=False):
+    from tpupose.ops.packing import pack_width, unpack_width
+
     ys = []
     for b, x in enumerate(xs):
         blocks = p["branches"][str(b)]
+        if pack0 and b == 0:
+            x = pack_width(x)  # branch-0 blocks carry width-packed kernels
         for l in range(len(blocks)):
-            x = _basic_block(blocks[str(l)], x)
+            x = _basic_block(blocks[str(l)], x, resident=resident)
+        if pack0 and b == 0:
+            x = unpack_width(x)
         ys.append(x)
     return _fuse_apply(p["fuse_layers"], ys, out_branches)
 
@@ -254,8 +294,9 @@ def hrnet_apply(params, cfg: HRNetConfig, x, compute_dtype=jnp.bfloat16):
     x = x.astype(compute_dtype)
     x = jax.nn.relu(bn_apply(params["bn1"], conv_apply(params["conv1"], x, stride=2)))
     x = jax.nn.relu(bn_apply(params["bn2"], conv_apply(params["conv2"], x, stride=2)))
+    resident = cfg.int8_resident
     for i in range(cfg.layer1_blocks):
-        x = _bottleneck(params["layer1"][str(i)], x)
+        x = _bottleneck(params["layer1"][str(i)], x, resident=resident)
 
     # transition1
     t1 = params["transition1"]
@@ -264,21 +305,25 @@ def hrnet_apply(params, cfg: HRNetConfig, x, compute_dtype=jnp.bfloat16):
     x1 = jax.nn.relu(bn_apply(b1["1"], conv_apply(b1["0"], x, stride=2)))
     xs = [x0, x1]
 
+    pack0 = cfg.pack_branch0
     for m in range(len(params["stage2"])):
         out_b = 2
-        xs = _module_apply(params["stage2"][str(m)], xs, out_b)
+        xs = _module_apply(params["stage2"][str(m)], xs, out_b, pack0=pack0,
+                           resident=resident)
 
     t2 = params["transition2"]["2"]["0"]
     xs = xs + [jax.nn.relu(bn_apply(t2["1"], conv_apply(t2["0"], xs[-1], stride=2)))]
     for m in range(len(params["stage3"])):
-        xs = _module_apply(params["stage3"][str(m)], xs, 3)
+        xs = _module_apply(params["stage3"][str(m)], xs, 3, pack0=pack0,
+                           resident=resident)
 
     t3 = params["transition3"]["3"]["0"]
     xs = xs + [jax.nn.relu(bn_apply(t3["1"], conv_apply(t3["0"], xs[-1], stride=2)))]
     n_mod4 = len(params["stage4"])
     for m in range(n_mod4):
         out_b = 1 if m == n_mod4 - 1 else 4
-        xs = _module_apply(params["stage4"][str(m)], xs, out_b)
+        xs = _module_apply(params["stage4"][str(m)], xs, out_b, pack0=pack0,
+                           resident=resident)
 
     heat = conv_apply(params["final_layer"], xs[0])
     return heat.astype(jnp.float32)

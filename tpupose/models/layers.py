@@ -76,6 +76,22 @@ def bn_init(c):
     }
 
 
+class BNStatRecorder:
+    """Collects per-BN input batch statistics during one traced forward
+    (same tap pattern as `quantize.ActRecorder`); used by
+    `quantize.calibrate_bn_stats` to re-estimate running stats on data."""
+
+    active = None
+
+    def __init__(self):
+        self.taps = []  # (bn_param_dict, traced_mean, traced_var)
+
+    def observe(self, p, x):
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        self.taps.append((p, jnp.mean(xf, axes), jnp.var(xf, axes)))
+
+
 def bn_apply(p, x, eps=1e-5):
     """Inference-mode batch norm (frozen statistics).
 
@@ -87,6 +103,8 @@ def bn_apply(p, x, eps=1e-5):
     """
     if not p:
         return x
+    if BNStatRecorder.active is not None:
+        BNStatRecorder.active.observe(p, x)
     inv = jax.lax.rsqrt(p["running_var"] + eps) * p["weight"]
     return x * inv.astype(x.dtype) + (p["bias"] - p["running_mean"] * inv).astype(
         x.dtype

@@ -124,20 +124,15 @@ def quantize_convs(params, act_scales, skip_ids=()):
     return walk(params)
 
 
-def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
-    """int8 conv: quantize input per-tensor, conv in int8 -> int32,
-    dequantize per-channel, add bias. Called from `conv_apply`."""
+def _int8_conv(xq, wq, stride=1, padding="TORCH", dilation=1):
+    """int8 x int8 -> int32 conv (MXU-native on v5e). Zero-point-0 makes
+    the int8 zero padding exactly TORCH's zero padding."""
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
-    wq = p["weight_q"]
     if padding == "TORCH":
         kh, kw = wq.shape[0], wq.shape[1]
         padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
-    inv = (1.0 / p["x_scale"]).astype(jnp.bfloat16)
-    xq = jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(
-        jnp.int8
-    )
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         xq,
         wq,
         window_strides=s,
@@ -146,11 +141,94 @@ def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
+
+
+def _quant_input(p, x):
+    """Per-tensor symmetric input quantization at the conv's calibrated
+    activation scale."""
+    inv = (1.0 / p["x_scale"]).astype(jnp.bfloat16)
+    return jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(
+        jnp.int8
+    )
+
+
+def quantized_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
+    """int8 conv: quantize input per-tensor, conv in int8 -> int32,
+    dequantize per-channel, add bias. Called from `conv_apply`."""
+    y = _int8_conv(_quant_input(p, x), p["weight_q"], stride, padding, dilation)
     scale = (p["w_scale"] * p["x_scale"]).astype(jnp.float32)
     out = y.astype(jnp.float32) * scale
     if "bias" in p:
         out = out + p["bias"]
     return out.astype(x.dtype)
+
+
+def _requant_relu(y32, p_from, p_to):
+    """Conv epilogue: int32 accumulators -> relu -> int8 at the NEXT conv's
+    calibrated input scale, without materializing a bf16 intermediate.
+
+    The rescale r = w_scale*x_scale/next_x_scale and the bias land the
+    value exactly on `relu(dequant(y32)+bias)/next_x_scale` — the same
+    quantity the generic path rounds (there in bf16; here in f32, so the
+    resident path is slightly MORE accurate). relu == clip-at-0 composes
+    with the int8 clip, keeping zero-point 0 (padding stays exact)."""
+    r = (p_from["w_scale"] * p_from["x_scale"] / p_to["x_scale"]).astype(
+        jnp.float32
+    )
+    y = y32.astype(jnp.float32) * r
+    if "bias" in p_from:
+        y = y + p_from["bias"] / p_to["x_scale"]
+    return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
+
+
+def is_quantized_conv(p):
+    return isinstance(p, dict) and "weight_q" in p
+
+
+def quantized_basic_block(p, x):
+    """int8-RESIDENT HRNet basic block (conv1 -> relu -> conv2 -> +skip -> relu).
+
+    The generic path dequantizes conv1's output to bf16 and conv2
+    re-quantizes it — the (N,H,W,C) intermediate makes a round trip
+    through HBM at 2 bytes/elt with C padded to 128 lanes. Fusing the
+    requantization into conv1's epilogue moves it as int8 instead:
+    measured **1.60x** on the branch-1 block at the bench shape
+    (scripts/probe_int8_resident.py, docs/PERF.md round 3). The residual
+    stays bf16 (accuracy: quantizing the skip would compound across the
+    stage depth)."""
+    c1, c2 = p["conv1"], p["conv2"]
+    yq = _requant_relu(_int8_conv(_quant_input(c1, x), c1["weight_q"]), c1, c2)
+    z = _int8_conv(yq, c2["weight_q"]).astype(jnp.float32) * (
+        c2["w_scale"] * c2["x_scale"]
+    )
+    if "bias" in c2:
+        z = z + c2["bias"]
+    skip = x
+    if "downsample" in p:
+        from tpupose.models.layers import bn_apply, conv_apply
+
+        skip = bn_apply(p["downsample"]["1"], conv_apply(p["downsample"]["0"], x))
+    return jax.nn.relu(z.astype(x.dtype) + skip)
+
+
+def quantized_bottleneck(p, x):
+    """int8-RESIDENT bottleneck (conv1 -> relu -> conv2 -> relu -> conv3):
+    both inter-conv tensors stay int8 (same epilogue fusion as
+    `quantized_basic_block`)."""
+    c1, c2, c3 = p["conv1"], p["conv2"], p["conv3"]
+    yq = _requant_relu(_int8_conv(_quant_input(c1, x), c1["weight_q"]), c1, c2)
+    zq = _requant_relu(_int8_conv(yq, c2["weight_q"]), c2, c3)
+    out = _int8_conv(zq, c3["weight_q"]).astype(jnp.float32) * (
+        c3["w_scale"] * c3["x_scale"]
+    )
+    if "bias" in c3:
+        out = out + c3["bias"]
+    skip = x
+    if "downsample" in p:
+        from tpupose.models.layers import bn_apply, conv_apply
+
+        skip = bn_apply(p["downsample"]["1"], conv_apply(p["downsample"]["0"], x))
+    return jax.nn.relu(out.astype(x.dtype) + skip)
 
 
 def uncalibrated_scales(params, skip_ids=()):
@@ -174,6 +252,46 @@ def uncalibrated_scales(params, skip_ids=()):
 
     walk(params)
     return out
+
+
+def calibrate_bn_stats(apply_fn, batch, iters=4):
+    """Re-estimate every BN's running_mean/running_var from data (in place).
+
+    Standard BN re-calibration (AdaBN-style): run the forward, record each
+    BN's input batch statistics, write them into the running buffers, and
+    iterate — layer k's stats depend on the (re)normalized layers before
+    it, so a few passes converge front-to-back. Converges geometrically in
+    depth; `iters`=4 suffices for HRNet-size nets.
+
+    Uses: adapting frozen stats to a new domain before folding, and — in
+    this repo's tests/benchmarks — giving RANDOM-weight models the O(1)
+    per-layer activation statistics a trained+BN network has (an
+    unnormalized random residual stack doubles variance per block, which
+    no deployed checkpoint resembles).
+
+    Args:
+      apply_fn: closure over the UNFOLDED params tree (must close over the
+        same dict objects; stats are written into them).
+      batch: representative input batch.
+      iters: fixpoint iterations.
+    """
+    from tpupose.models.layers import BNStatRecorder
+
+    for _ in range(iters):
+        rec = BNStatRecorder()
+
+        def traced(x):
+            BNStatRecorder.active = rec
+            try:
+                apply_fn(x)
+            finally:
+                BNStatRecorder.active = None
+            return [(m, v) for _, m, v in rec.taps]
+
+        vals = jax.jit(traced)(batch)
+        for (p, _, _), (m, v) in zip(rec.taps, vals):
+            p["running_mean"] = jnp.asarray(np.asarray(m), jnp.float32)
+            p["running_var"] = jnp.asarray(np.asarray(v), jnp.float32)
 
 
 # -- model-level convenience --------------------------------------------------

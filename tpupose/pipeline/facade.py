@@ -111,6 +111,31 @@ class Pipeline:
     def track_restart(self):
         self.state = init_state(self.tracker_cfg)
 
+    def pack_models(self):
+        """Width-pack the HRNet high-res branch for serving.
+
+        Exact reparameterization (bf16 AND int8 trees): branch-0
+        activations (N, H, W, C) -> (N, H, W/2, 2C) with structured-zero
+        kernels — ~2x fewer MXU cycles and ~2x less lane-padding HBM
+        traffic on the C=width convs that dominate serving
+        (tpupose/ops/packing.py, docs/PERF.md round 3). Call after
+        `quantize_models` (or directly on the bf16 tree); compiled
+        pipeline functions are rebuilt on next use."""
+        import dataclasses
+
+        from tpupose.ops.packing import pack_hrnet_branch0
+
+        if self.pose_cfg is None or self.pose_cfg.pack_branch0:
+            return
+        self.pose_params = pack_hrnet_branch0(self.pose_params)
+        self.pose_cfg = dataclasses.replace(self.pose_cfg, pack_branch0=True)
+        # compiled programs baked the unpacked config; rebuild lazily
+        self._frame_fn = None
+        self._pose_fn = None
+        self._clip_fn = None
+        self._clip_nn_fn = None
+        self._clips_nn_fn = None
+
     def quantize_models(self, sample_images):
         """Switch both backbones to int8 serving mode (PTQ).
 

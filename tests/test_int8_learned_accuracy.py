@@ -18,38 +18,12 @@ import optax
 from tpupose.models.hrnet import hrnet_apply, hrnet_init, tiny_test_config
 from tpupose.models.layers import fold_batchnorm
 from tpupose.models.quantize import quantize_hrnet
-from tpupose.models.train import gaussian_target_heatmaps, make_train_step
-from tpupose.ops.heatmap import decode_heatmaps
-
-#: 17 visually distinct RGB colors, one per joint — makes joint identity
-#: learnable from color alone.
-_JOINT_COLORS = np.array(
-    [
-        [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
-        [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
-        [210, 245, 60], [250, 190, 190], [0, 128, 128], [230, 190, 255],
-        [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
-        [128, 128, 0],
-    ],
-    np.float32,
+from tpupose.models.train import (
+    blob_localization_batch,
+    gaussian_target_heatmaps,
+    make_train_step,
 )
-
-
-def _make_batch(rng, cfg, n, blob_sigma=2.5):
-    h, w = cfg.input_size
-    imgs = np.full((n, h, w, 3), 0.35, np.float32)
-    kps = np.zeros((n, cfg.num_joints, 3), np.float32)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    for i in range(n):
-        for j in range(cfg.num_joints):
-            x = rng.uniform(6, w - 6)
-            y = rng.uniform(6, h - 6)
-            kps[i, j] = (x, y, 1.0)
-            blob = np.exp(
-                -((xx - x) ** 2 + (yy - y) ** 2) / (2 * blob_sigma**2)
-            )
-            imgs[i] += blob[..., None] * (_JOINT_COLORS[j] / 255.0 - 0.35)
-    return jnp.asarray(np.clip(imgs, 0, 1)), jnp.asarray(kps)
+from tpupose.ops.heatmap import decode_heatmaps
 
 
 def test_int8_preserves_learned_keypoint_accuracy():
@@ -60,7 +34,7 @@ def test_int8_preserves_learned_keypoint_accuracy():
     opt_state = optimizer.init(params)
     step = jax.jit(make_train_step(cfg, optimizer, compute_dtype=jnp.float32))
 
-    imgs, kps = _make_batch(rng, cfg, 8)
+    imgs, kps = blob_localization_batch(rng, cfg, 8)
     # x10 target amplification: the raw Gaussian targets are so sparse that
     # the constant-prediction baseline dominates early training
     targets, weights = gaussian_target_heatmaps(cfg, kps)

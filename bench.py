@@ -284,6 +284,66 @@ def main():
             print(f"multistream leg failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # W32 fast-serving leg (opt-in: BENCH_W32=1): the "different model"
+    # path past the W48 lane floor (docs/PERF.md r3 conclusion) — official
+    # pose_hrnet_w32 at 256x192 crops, int8, same clip workload. Reported
+    # on stderr; the headline stays the W48 flagship for baseline
+    # comparability.
+    if os.environ.get("BENCH_W32", "0") == "1":
+        try:
+            from tpupose.models.hrnet import hrnet_w32_config
+            from tpupose.models.quantize import (
+                hrnet_skip_ids,
+                quantize_convs,
+                uncalibrated_scales,
+                yolo_skip_ids,
+            )
+
+            pose32_cfg = hrnet_w32_config()
+            pose32_bf16 = fold_batchnorm(
+                hrnet_init(jax.random.PRNGKey(3), pose32_cfg),
+                dtype=jnp.bfloat16,
+            )
+            pipe32 = Pipeline(
+                cams=cams, tracker_cfg=tcfg, det_cfg=det_cfg,
+                det_params=quantize_convs(
+                    pipe.det_params,
+                    uncalibrated_scales(
+                        pipe.det_params, yolo_skip_ids(pipe.det_params, det_cfg)
+                    ),
+                ),
+                pose_cfg=pose32_cfg,
+                pose_params=quantize_convs(
+                    pose32_bf16,
+                    uncalibrated_scales(
+                        pose32_bf16, hrnet_skip_ids(pose32_bf16)
+                    ),
+                ),
+            )
+
+            def w32_run(batch, fid_offset):
+                fids = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                                      + fid_offset)
+                float(jnp.sum(fids))
+                start = time.perf_counter()
+                d_c, m_c = pipe32.process_clips_nn(batch)
+                st_c, outs_c = track_all_fn(
+                    init_state(tcfg), dets_all, mask_all, fids
+                )
+                float(jnp.sum(outs_c.pose3d) + jnp.sum(d_c))
+                return n_clips * F / (time.perf_counter() - start)
+
+            w32_run(clips_warm, 60 * n_clips * F)  # compile + warm
+            fps_32 = w32_run(clips2, 70 * n_clips * F)
+            print(
+                f"W32@256x192 int8 serving: {fps_32:.1f} fps/chip "
+                f"(vs target {fps_32 / per_chip_target:.2f}x) — the "
+                f"fast-serving alternative model (scales: timing-only)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"W32 leg failed: {type(e).__name__}: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

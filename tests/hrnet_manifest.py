@@ -1,4 +1,4 @@
-"""Independent derivation of the OFFICIAL pose_hrnet_w48 state_dict schema.
+"""Independent derivation of the OFFICIAL pose_hrnet state_dict schemas.
 
 This module encodes the module structure of the public `pose_hrnet` network
 (leoxiaobin/deep-high-resolution-net.pytorch `lib/models/pose_hrnet.py`, the
@@ -7,12 +7,15 @@ model class behind the reference's `pose_hrnet_w48_384x288.pth` checkpoint —
 `/root/reference/README.md:78-80`) **without importing any tpupose model
 code**: the expected key list is written out rule-by-rule from the official
 torch module tree (Sequential/ModuleList index nesting included). The frozen
-fixture `fixtures/pose_hrnet_w48_384x288.keys.txt` is generated from this and
-compared in tests against `tree_to_torch_state_dict(hrnet_init(...))` so the
-two derivations pin each other: a first real-weights load can only fail on
+fixtures `fixtures/pose_hrnet_w48_384x288.keys.txt` and
+`fixtures/pose_hrnet_w32.keys.txt` (the key set is input-size-independent;
+w32_256x192 and w32_384x288 share it) are generated from this and compared
+in tests against `tree_to_torch_state_dict(hrnet_init(...))` so the two
+derivations pin each other: a first real-weights load can only fail on
 numerics, never on key layout.
 
-Official architecture facts encoded here (pose_hrnet.py, W48 384x288 cfg):
+Official architecture facts encoded here (pose_hrnet.py; W32 differs from
+W48 ONLY in the branch width table 32/64/128/256 vs 48/96/192/384):
   * stem: conv1/bn1 (3->64, 3x3 s2), conv2/bn2 (64->64, 3x3 s2), no biases;
   * layer1: 4 Bottlenecks (planes 64, expansion 4), block 0 has a
     downsample Sequential(Conv 1x1 256, BN);
@@ -36,8 +39,6 @@ Official architecture facts encoded here (pose_hrnet.py, W48 384x288 cfg):
 """
 from __future__ import annotations
 
-W = 48                       # pose_hrnet_w48
-CHANNELS = (W, 2 * W, 4 * W, 8 * W)
 NUM_JOINTS = 17
 STAGE_MODULES = {2: 1, 3: 4, 4: 3}
 BLOCKS_PER_BRANCH = 4
@@ -106,8 +107,12 @@ def _fuse_layers(name, channels, out_branches):
     return keys
 
 
-def official_pose_hrnet_w48_manifest():
-    """Full official state_dict schema: ordered list of (key, shape)."""
+def official_pose_hrnet_manifest(width=48):
+    """Full official state_dict schema: ordered list of (key, shape).
+
+    `width` selects the family member: 48 -> pose_hrnet_w48 (the reference's
+    checkpoint), 32 -> pose_hrnet_w32 (the other official release)."""
+    CHANNELS = (width, 2 * width, 4 * width, 8 * width)
     keys = []
     # stem
     keys += _conv("conv1", STEM, 3, 3)
@@ -155,6 +160,14 @@ def official_pose_hrnet_w48_manifest():
     return keys
 
 
+def official_pose_hrnet_w48_manifest():
+    return official_pose_hrnet_manifest(48)
+
+
+def official_pose_hrnet_w32_manifest():
+    return official_pose_hrnet_manifest(32)
+
+
 def manifest_lines(manifest):
     return [
         "{} {}".format(k, "x".join(str(d) for d in s) if s else "scalar")
@@ -166,12 +179,13 @@ if __name__ == "__main__":
     import math
     import sys
 
-    m = official_pose_hrnet_w48_manifest()
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    m = official_pose_hrnet_manifest(width)
     print("\n".join(manifest_lines(m)))
     trainable = sum(
         math.prod(s) for k, s in m
         if not k.endswith(("running_mean", "running_var", "num_batches_tracked"))
     )
     total = sum(math.prod(s) for k, s in m)
-    print(f"# keys: {len(m)}  trainable: {trainable}  total: {total}",
-          file=sys.stderr)
+    print(f"# width={width} keys: {len(m)}  trainable: {trainable}  "
+          f"total: {total}", file=sys.stderr)

@@ -28,21 +28,26 @@ import pytest
 
 from tests.hrnet_manifest import (
     manifest_lines,
+    official_pose_hrnet_manifest,
     official_pose_hrnet_w48_manifest,
 )
 
 FIXTURE = os.path.join(
     os.path.dirname(__file__), "fixtures", "pose_hrnet_w48_384x288.keys.txt"
 )
+FIXTURE_W32 = os.path.join(
+    os.path.dirname(__file__), "fixtures", "pose_hrnet_w32.keys.txt"
+)
 
 #: Public facts about the real artifacts.
 YOLOV3_WEIGHTS_FLOATS = 62_001_757      # payload float32 count
 YOLOV3_WEIGHTS_BYTES = 248_007_048      # = 20-byte header + 4 * floats
 POSE_HRNET_W48_TRAINABLE = 63_595_745   # the "63.6M" of the HRNet paper
+POSE_HRNET_W32_TRAINABLE = 28_536_113   # the "28.5M" of the HRNet paper
 
 
-def _load_fixture():
-    with open(FIXTURE) as f:
+def _load_fixture(path=FIXTURE):
+    with open(path) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
     out = {}
     for ln in lines:
@@ -62,15 +67,17 @@ def test_fixture_is_fresh():
 
 
 def test_manifest_param_counts_match_public_numbers():
-    m = official_pose_hrnet_w48_manifest()
-    trainable = sum(
-        math.prod(s)
-        for k, s in m
-        if not k.endswith(
-            ("running_mean", "running_var", "num_batches_tracked")
+    for width, want in ((48, POSE_HRNET_W48_TRAINABLE),
+                        (32, POSE_HRNET_W32_TRAINABLE)):
+        m = official_pose_hrnet_manifest(width)
+        trainable = sum(
+            math.prod(s)
+            for k, s in m
+            if not k.endswith(
+                ("running_mean", "running_var", "num_batches_tracked")
+            )
         )
-    )
-    assert trainable == POSE_HRNET_W48_TRAINABLE
+        assert trainable == want, width
 
 
 @pytest.fixture(scope="module")
@@ -155,6 +162,49 @@ def test_hrnet_official_state_dict_loads_into_tree_structure():
         for p, v in jax.tree_util.tree_leaves_with_path(want)
     }
     assert got_paths == want_paths
+
+
+def test_w32_fixture_is_fresh():
+    with open(FIXTURE_W32) as f:
+        on_disk = [ln.rstrip("\n") for ln in f if ln.strip()]
+    assert on_disk == manifest_lines(official_pose_hrnet_manifest(32))
+
+
+def test_hrnet_w32_matches_official_checkpoint():
+    """The W32 family member (official pose_hrnet_w32_256x192/384x288
+    checkpoints — the key set is input-size-independent) must load with
+    the SAME converter: tree keys+shapes == the W32 manifest."""
+    from tpupose.models.hrnet import hrnet_init, hrnet_w32_config
+
+    tree = jax.eval_shape(
+        lambda: hrnet_init(jax.random.PRNGKey(0), hrnet_w32_config())
+    )
+
+    got = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                shape = tuple(v.shape)
+                if len(shape) == 4 and name.endswith("weight"):
+                    h, w, i, o = shape
+                    shape = (o, i, h, w)
+                got[name] = shape
+
+    walk(tree, "")
+    expected = {
+        k: s for k, s in _load_fixture(FIXTURE_W32).items()
+        if not k.endswith("num_batches_tracked")
+    }
+    assert set(got) == set(expected), (
+        sorted(set(expected) - set(got))[:10],
+        sorted(set(got) - set(expected))[:10],
+    )
+    bad = [(k, got[k], s) for k, s in expected.items() if got[k] != s]
+    assert not bad, bad[:10]
 
 
 def test_yolov3_weights_payload_size():

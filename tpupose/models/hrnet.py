@@ -63,8 +63,14 @@ def hrnet_w48_config():
     return HRNetConfig(width=48)
 
 
-def hrnet_w32_config():
-    return HRNetConfig(width=32)
+def hrnet_w32_config(input_size=(256, 192)):
+    """The official pose_hrnet_w32 family member (28.5M params; released
+    as w32_256x192 and w32_384x288 — same state_dict key set, pinned by
+    `tests/test_real_artifact_schema.py`). At 256x192 it is the measured
+    fast-serving alternative to W48@384x288: the C=48 lane floor analysis
+    (docs/PERF.md r3) concluded a smaller model, not a better emitter, is
+    the way past ~75-80 fps/chip."""
+    return HRNetConfig(width=32, input_size=tuple(input_size))
 
 
 def tiny_test_config():

@@ -17,3 +17,9 @@ import jax  # noqa: E402
 # (env vars alone are ignored once the axon plugin registers).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated on this
+# 1-core host; repeat runs reuse compiled programs across processes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

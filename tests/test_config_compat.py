@@ -92,3 +92,23 @@ def test_joint_gate_changes_association():
     # ever confirm.
     assert run(10) > 0
     assert run(17) == 0
+
+def test_w32_pose_model_reachable_from_yaml(tmp_path):
+    """Setting C: 32 + RESOLUTION in the reference YAML schema must yield
+    the official pose_hrnet_w32 topology through `hrnet_config_from` (the
+    fast-serving alternative model, docs/PERF.md r3)."""
+    import yaml
+
+    from tpupose.cli.common import hrnet_config_from
+    from tpupose.models.hrnet import hrnet_w32_config
+
+    base = os.path.join(REPO_CONFIGS, "CampusSeq1", "model_configs.yaml")
+    with open(base) as f:
+        raw = yaml.safe_load(f)
+    hr = raw["POSE_MODELS"]["HRPOSE"]
+    hr["C"] = 32
+    hr["RESOLUTION"] = [256, 192]
+    variant = tmp_path / "model_configs.yaml"
+    variant.write_text(yaml.safe_dump(raw))
+    cfg = load_config(str(variant))
+    assert hrnet_config_from(cfg) == hrnet_w32_config()

@@ -166,3 +166,37 @@ def test_sharded_train_step_runs_and_keeps_shardings():
     # Second call reuses the cached compiled fn.
     params3, _, loss2 = step(params2, opt_state2, images, targets, weights)
     assert np.isfinite(float(loss2))
+
+
+def test_sharded_train_bn_matches_unsharded():
+    """Sharded train-mode BN is synchronized BN: batch statistics reduce
+    over the FULL data-sharded batch (GSPMD turns the global mean/var
+    into cross-shard psums), so the sharded loss equals the single-device
+    loss on the same inputs."""
+    from tpupose.models.hrnet import hrnet_init, tiny_test_config
+    from tpupose.models.train import (
+        blob_localization_batch,
+        gaussian_target_heatmaps,
+        heatmap_loss,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(2), cfg)
+    imgs, kps = blob_localization_batch(np.random.default_rng(3), cfg, 8)
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+
+    loss_ref = float(
+        heatmap_loss(params, cfg, imgs, targets, weights, jnp.float32, True)
+    )
+
+    optimizer = make_optimizer(lr=1e-4)
+    step, shardings_for = make_sharded_train_step(
+        cfg, optimizer, mesh, compute_dtype=jnp.float32, train_bn=True
+    )
+    sharded_params = jax.device_put(params, shardings_for(params))
+    opt_state = optimizer.init(sharded_params)
+    _, _, loss = step(sharded_params, opt_state, imgs, targets, weights)
+    assert abs(float(loss) - loss_ref) <= 1e-5 * max(1.0, abs(loss_ref))

@@ -96,3 +96,57 @@ def test_gaussian_targets_peak_at_keypoints():
     iy, ix = np.unravel_index(np.argmax(t), t.shape)
     assert (iy, ix) == (6, 4)  # 24/4, 16/4
     assert np.asarray(weights).all()
+
+
+def test_train_bn_matches_calibrated_inference_forward():
+    """Train-mode BN self-consistency: a train_bn forward equals
+    (calibrate_bn_stats on the same batch -> inference forward) EXACTLY —
+    each BN normalizes by its input's batch statistics either way. This
+    pins the semantics make_train_step(train_bn=True) relies on (training
+    at real depth; see heatmap_loss docstring) and that running-stat
+    leaves receive zero gradients under train_bn."""
+    from tpupose.models.layers import BNStatRecorder
+    from tpupose.models.quantize import calibrate_bn_stats
+    from tpupose.models.train import blob_localization_batch
+
+    cfg = tiny_test_config()
+    params = hrnet_init(jax.random.PRNGKey(5), cfg)
+    imgs, _ = blob_localization_batch(np.random.default_rng(6), cfg, 2)
+
+    prev = BNStatRecorder.active
+    BNStatRecorder.active = BNStatRecorder()
+    try:
+        heat_train = np.asarray(
+            hrnet_apply(params, cfg, imgs, compute_dtype=jnp.float32)
+        )
+    finally:
+        BNStatRecorder.active = prev
+
+    calibrate_bn_stats(
+        lambda x: hrnet_apply(params, cfg, x, compute_dtype=jnp.float32), imgs
+    )
+    heat_inf = np.asarray(
+        hrnet_apply(params, cfg, imgs, compute_dtype=jnp.float32)
+    )
+    rng_h = heat_train.max() - heat_train.min()
+    assert np.abs(heat_train - heat_inf).max() <= 1e-4 * rng_h
+
+    # running stats are unused in the train_bn forward -> zero gradients
+    from tpupose.models.train import heatmap_loss
+
+    kps = jnp.zeros((2, cfg.num_joints, 3), jnp.float32)
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    grads = jax.grad(heatmap_loss)(
+        params, cfg, imgs, targets, weights, jnp.float32, True
+    )
+
+    def check(node):
+        if isinstance(node, dict):
+            if "running_var" in node:
+                assert float(np.abs(np.asarray(node["running_var"])).max()) == 0.0
+                assert float(np.abs(np.asarray(node["running_mean"])).max()) == 0.0
+            for v in node.values():
+                if isinstance(v, dict):
+                    check(v)
+
+    check(grads)

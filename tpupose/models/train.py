@@ -81,9 +81,29 @@ def gaussian_target_heatmaps(cfg: HRNetConfig, keypoints_crop, sigma=2.0):
 
 
 def heatmap_loss(params, cfg: HRNetConfig, images, targets, weights,
-                 compute_dtype=jnp.bfloat16):
-    """Joint-weighted MSE (standard JointsMSELoss)."""
-    pred = hrnet_apply(params, cfg, images, compute_dtype)
+                 compute_dtype=jnp.bfloat16, train_bn=False):
+    """Joint-weighted MSE (standard JointsMSELoss).
+
+    `train_bn` runs BatchNorms in TRAIN mode (normalize by the current
+    batch statistics — the `BNStatRecorder` switch in `bn_apply`,
+    activated here at trace time). Required when training at real depth:
+    inference-mode BN with raw init stats lets residual stacks double
+    activation variance per block, and inference-mode BN with
+    pre-calibrated stats scales gradients by tiny 1/sqrt(running_var)
+    factors — measured 2026-08-17 at the full (1,4,3)x4 schedule, decode
+    error frozen at the constant-prediction baseline for 800+ steps.
+    After training, write coherent running stats with
+    `quantize.calibrate_bn_stats` before folding/serving."""
+    if train_bn:
+        from tpupose.models.layers import BNStatRecorder
+
+        prev, BNStatRecorder.active = BNStatRecorder.active, BNStatRecorder()
+        try:
+            pred = hrnet_apply(params, cfg, images, compute_dtype)
+        finally:
+            BNStatRecorder.active = prev
+    else:
+        pred = hrnet_apply(params, cfg, images, compute_dtype)
     err = (pred - targets) ** 2  # (N, Hh, Wh, J)
     per_joint = jnp.mean(err, axis=(1, 2))  # (N, J)
     return jnp.mean(per_joint * weights)
@@ -93,12 +113,18 @@ def make_optimizer(lr=1e-3, weight_decay=1e-4):
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def make_train_step(cfg: HRNetConfig, optimizer, compute_dtype=jnp.bfloat16):
-    """jittable (params, opt_state, batch) -> (params, opt_state, loss)."""
+def make_train_step(cfg: HRNetConfig, optimizer, compute_dtype=jnp.bfloat16,
+                    train_bn=False):
+    """jittable (params, opt_state, batch) -> (params, opt_state, loss).
+
+    With `train_bn`, BN layers normalize by batch statistics (see
+    `heatmap_loss`); the running-stat leaves get zero gradients (unused
+    in the forward) and stay at their init values — re-estimate them
+    with `calibrate_bn_stats` after training."""
 
     def step(params, opt_state, images, targets, weights):
         loss, grads = jax.value_and_grad(heatmap_loss)(
-            params, cfg, images, targets, weights, compute_dtype
+            params, cfg, images, targets, weights, compute_dtype, train_bn
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -108,8 +134,12 @@ def make_train_step(cfg: HRNetConfig, optimizer, compute_dtype=jnp.bfloat16):
 
 
 def make_sharded_train_step(cfg: HRNetConfig, optimizer, mesh,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, train_bn=False):
     """Train step jitted over a ('data', 'model') mesh.
+
+    With `train_bn`, BN batch statistics reduce over the FULL data-sharded
+    batch — XLA's SPMD partitioner turns the jnp.mean/var over the batch
+    axis into cross-shard psums, i.e. synchronized BatchNorm for free.
 
     Batch arrays shard on axis 0 over 'data'; params and optimizer state
     shard per `conv_param_sharding` (TP over conv output channels where
@@ -126,7 +156,7 @@ def make_sharded_train_step(cfg: HRNetConfig, optimizer, mesh,
 
     from tpupose.parallel.mesh import conv_param_sharding
 
-    step = make_train_step(cfg, optimizer, compute_dtype)
+    step = make_train_step(cfg, optimizer, compute_dtype, train_bn)
     batch_s = NamedSharding(mesh, PartitionSpec("data"))
     scalar_s = NamedSharding(mesh, PartitionSpec())
     cache = {}

@@ -257,7 +257,7 @@ def main():
             ms_fn = make_multistream_clip_fn(det_cfg, pose_cfg, tcfg)
             cams_s = broadcast_cameras(adv_cams, S)
 
-            def ms_run(batch, fid_offset):
+            def ms_run(dp, pp, batch, fid_offset):
                 fids_s = jax.device_put(
                     np.arange(S * F, dtype=np.int32).reshape(S, F)
                     + fid_offset
@@ -266,18 +266,50 @@ def main():
                 states_s = init_multistream_state(tcfg, S)  # donated
                 start = time.perf_counter()
                 new_states, outs_ms = ms_fn(
-                    det_params, pose_params, cams_s, states_s,
-                    batch[:S], fids_s,
+                    dp, pp, cams_s, states_s, batch[:S], fids_s,
                 )
                 float(jnp.sum(outs_ms.pose3d))
                 return S * F / (time.perf_counter() - start)
 
-            ms_run(clips_warm, 40 * n_clips * F)  # compile + warm
-            fps_ms = ms_run(clips2, 50 * n_clips * F)
+            # int8 first: the headline is int8, so the per-chip parity
+            # basis for the v5e-8 extrapolation must be int8 too.
+            try:
+                from tpupose.models.quantize import (
+                    hrnet_skip_ids,
+                    quantize_convs,
+                    uncalibrated_scales,
+                    yolo_skip_ids,
+                )
+
+                q_det = quantize_convs(
+                    det_params,
+                    uncalibrated_scales(
+                        det_params, yolo_skip_ids(det_params, det_cfg)
+                    ),
+                )
+                q_pose = quantize_convs(
+                    pose_params,
+                    uncalibrated_scales(pose_params, hrnet_skip_ids(pose_params)),
+                )
+                ms_run(q_det, q_pose, clips_warm, 45 * n_clips * F)  # compile
+                fps_ms_q = ms_run(q_det, q_pose, clips2, 55 * n_clips * F)
+                print(
+                    f"multistream (S={S}, shared stage A): {fps_ms_q:.1f} "
+                    f"fps/chip int8 — per-chip parity basis for the v5e-8 "
+                    f"stream-sharded extrapolation of the int8 headline",
+                    file=sys.stderr,
+                )
+                del q_det, q_pose
+            except Exception as e:
+                print(f"multistream int8 leg failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+            ms_run(det_params, pose_params, clips_warm, 40 * n_clips * F)
+            fps_ms = ms_run(det_params, pose_params, clips2, 50 * n_clips * F)
             print(
                 f"multistream (S={S}, shared stage A): {fps_ms:.1f} "
-                f"fps/chip bf16 — per-chip parity basis for the v5e-8 "
-                f"stream-sharded extrapolation",
+                f"fps/chip bf16 — facade-parity check for the bf16 "
+                f"diagnostic",
                 file=sys.stderr,
             )
         except Exception as e:

@@ -227,6 +227,11 @@ if __name__ == "__main__":
     if "--random" in sys.argv:
         random_proxy_report()
         sys.exit(0)
-    ok = learned_w48()
+    cfg = None
+    if "--w32" in sys.argv:  # the W32@256x192 fast-serving alternative
+        from tpupose.models.hrnet import hrnet_w32_config
+
+        cfg = hrnet_w32_config()
+    ok = learned_w48(cfg=cfg)
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)

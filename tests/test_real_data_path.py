@@ -333,3 +333,89 @@ def test_draw_skeleton_overlay_pixels():
     assert out.sum() > 0  # something was drawn
     # joints land where asked (point marker covers the coordinate)
     assert out[20, 10].any() and out[36, 26].any()
+
+
+def test_convert_bundle_cli_torch_free(mini, capsys, monkeypatch):
+    """`python -m tpupose.cli.convert` writes a torch-free orbax serving
+    bundle (BN-folded bf16 + manifest); `evalmodel --bundle` serves from it
+    WITHOUT calling the torch/darknet converters and produces the same 3D
+    predictions as the direct-converter run (same weights, same program).
+    The reference re-parses its .pth/.weights at every startup
+    (`src/ivclabpose.py:116-132`); here conversion is a one-time step."""
+    if not mini.get("hrnet_checkpoint"):
+        pytest.skip("torch unavailable; cannot fabricate .pth")
+    from tpupose.cli import convert, evalmodel
+
+    pkl = os.path.join(mini["root"], "results", "MiniCampus", "logs",
+                       "YOLOv3_HRPose_Iterative_" +
+                       os.path.basename(mini["root"]) + ".pkl")
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+    ])
+    capsys.readouterr()
+    with open(pkl, "rb") as f:
+        direct = pickle.load(f)
+
+    bundle = os.path.join(mini["root"], "bundle")
+    convert.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--out", bundle,
+    ])
+    out = capsys.readouterr().out
+    assert "bundle written" in out
+    assert os.path.exists(os.path.join(bundle, "bundle.json"))
+
+    # the bundle path must never touch the torch/darknet converters
+    import tpupose.models.convert as mc
+
+    def _boom(*a, **k):
+        raise AssertionError("checkpoint converter called in --bundle mode")
+
+    monkeypatch.setattr(mc, "load_hrnet_torch_checkpoint", _boom)
+    monkeypatch.setattr(mc, "load_darknet_weights", _boom)
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--bundle", bundle,
+    ])
+    out = capsys.readouterr().out
+    assert "Average PCP" in out, out
+    with open(pkl, "rb") as f:
+        bundled = pickle.load(f)
+
+    assert set(direct) == set(bundled)
+    for k in direct:
+        a, b = direct[k], bundled[k]
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        if a.size:
+            # identical folded-bf16 weights, identical program -> identical
+            np.testing.assert_array_equal(a, b)
+
+
+def test_bundle_config_mismatch_rejected(tmp_path):
+    """A bundle converted for one topology/resolution must refuse to load
+    into a pipeline configured for another — loudly, naming the field."""
+    import jax
+
+    from tpupose.cli.convert import load_bundle, write_bundle
+    from tpupose.models.hrnet import hrnet_init, tiny_test_config
+    from tpupose.models.yolov3 import tiny_yolo_test_config, yolov3_init
+
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    det_params = yolov3_init(jax.random.PRNGKey(0), det_cfg)
+    pose_params = hrnet_init(jax.random.PRNGKey(1), pose_cfg)
+    out = str(tmp_path / "bundle")
+    write_bundle(out, det_cfg, det_params, pose_cfg, pose_params)
+
+    import dataclasses
+
+    wrong_pose = dataclasses.replace(pose_cfg, input_size=(128, 96))
+    with pytest.raises(ValueError, match="input_size"):
+        load_bundle(out, det_cfg, wrong_pose)
+
+    # matching configs restore fine, with identical leaves
+    det_r, pose_r = load_bundle(out, det_cfg, pose_cfg)
+    for a, b in zip(jax.tree.leaves(pose_params), jax.tree.leaves(pose_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

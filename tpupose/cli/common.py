@@ -22,17 +22,29 @@ from tpupose.pipeline.facade import Pipeline
 from tpupose.utils.timing import StageTimer
 
 
-def build_pipeline_real(cfg: Config, camera_parameter, width, height):
-    from tpupose.models.convert import load_darknet_weights, load_hrnet_torch_checkpoint
-    from tpupose.models.layers import fold_batchnorm
-
+def build_pipeline_real(cfg: Config, camera_parameter, width, height,
+                        bundle: str | None = None):
     cams = Pipeline.camera_set_from_parameter_dict(
         camera_parameter, width, height, num_cameras=len(cfg.dataset.folders_order)
     )
     tcfg = tracker_config_from(cfg, num_cameras=cams.num_cameras)
     det_cfg = yolo_config_from(cfg)
-    det_params, _ = load_darknet_weights(cfg.detect_model.weight, det_cfg)
     pose_cfg = hrnet_config_from(cfg)
+    if bundle:
+        # Torch-free serving: pre-converted BN-folded bf16 orbax bundle
+        # (written once by `python -m tpupose.cli.convert`); the manifest
+        # is checked against the YAML-derived configs inside load_bundle.
+        from tpupose.cli.convert import load_bundle
+
+        det_params, pose_params = load_bundle(bundle, det_cfg, pose_cfg)
+        return Pipeline(
+            cams=cams, tracker_cfg=tcfg, det_cfg=det_cfg,
+            det_params=det_params, pose_cfg=pose_cfg, pose_params=pose_params,
+        )
+    from tpupose.models.convert import load_darknet_weights, load_hrnet_torch_checkpoint
+    from tpupose.models.layers import fold_batchnorm
+
+    det_params, _ = load_darknet_weights(cfg.detect_model.weight, det_cfg)
     pose_params = load_hrnet_torch_checkpoint(cfg.pose_model.checkpoint_file)
     # Serve BN-folded bf16 params: exact for frozen statistics, halves param
     # HBM traffic, and satisfies `quantize_convs`' BN-folded contract so the

@@ -40,17 +40,25 @@ def main(argv=None):
                         help="cached 2D detections dump pickle (reference "
                              "dump format); skips the NN backends")
     parser.add_argument("--frames", type=int, default=120)
-    parser.add_argument("--clip", type=int, default=0,
+    parser.add_argument("--clip", type=int, default=32,
                         help="buffer N frames and run them through the "
                              "two-stage clip pipeline (batched NN + scanned "
-                             "tracker) — the benchmark's throughput shape; "
-                             "0 = per-frame")
+                             "tracker) — the benchmark's throughput shape, "
+                             "on by default so the entry point delivers the "
+                             "benched fps; trailing partial clips (and runs "
+                             "shorter than N) fall back to the per-frame "
+                             "path with identical results; 0 = per-frame")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode: post-training-quantize the "
                              "backbones (tpupose.models.quantize)")
     parser.add_argument("--int8-calib", type=int, default=1,
                         help="number of leading frames whose views feed the "
                              "--int8 activation-scale calibration pass")
+    parser.add_argument("--bundle", type=str, default=None,
+                        help="pre-converted orbax serving bundle dir "
+                             "(python -m tpupose.cli.convert); serving then "
+                             "needs neither torch nor the original "
+                             "checkpoint files")
     args = parser.parse_args(argv)
 
     timer = StageTimer()
@@ -88,7 +96,8 @@ def main(argv=None):
         first = next(source)
         images0 = first[2]
         pipe = build_pipeline_real(
-            cfg, camera_parameter, images0.shape[2], images0.shape[1]
+            cfg, camera_parameter, images0.shape[2], images0.shape[1],
+            bundle=args.bundle,
         )
         head = [first]
         if args.int8:

@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode (PTQ, calibrated on the "
                              "first frame's views)")
+    parser.add_argument("--bundle", type=str, default=None,
+                        help="pre-converted orbax serving bundle dir "
+                             "(python -m tpupose.cli.convert)")
     args = parser.parse_args(argv)
 
     timer = StageTimer()
@@ -54,7 +57,8 @@ def main(argv=None):
     source = dataset_frame_source(cfg)
     first = next(source)
     images0 = first[2]
-    pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2], images0.shape[1])
+    pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2],
+                               images0.shape[1], bundle=args.bundle)
     if args.int8:
         pipe.quantize_models(images0)
     out_dir = os.path.join(cfg.output, cfg.dataset.test_dataset, "Images")

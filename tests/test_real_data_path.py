@@ -419,3 +419,68 @@ def test_bundle_config_mismatch_rejected(tmp_path):
     det_r, pose_r = load_bundle(out, det_cfg, pose_cfg)
     for a, b in zip(jax.tree.leaves(pose_params), jax.tree.leaves(pose_r)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_int8_bundle_matches_cli_int8(mini, capsys, monkeypatch):
+    """`convert --int8 --int8-calib N` calibrates on the same leading
+    dataset frames through the same `Pipeline.quantize_models` path as
+    `evalmodel --int8 --int8-calib N`, so serving from the quantized
+    bundle must produce byte-identical predictions — with no torch, no
+    checkpoint files, and no calibration pass at serving time."""
+    if not mini.get("hrnet_checkpoint"):
+        pytest.skip("torch unavailable; cannot fabricate .pth")
+    from tpupose.cli import convert, evalmodel
+
+    pkl = os.path.join(mini["root"], "results", "MiniCampus", "logs",
+                       "YOLOv3_HRPose_Iterative_" +
+                       os.path.basename(mini["root"]) + ".pkl")
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--int8", "--int8-calib", "2",
+    ])
+    capsys.readouterr()
+    with open(pkl, "rb") as f:
+        direct = pickle.load(f)
+
+    bundle = os.path.join(mini["root"], "bundle_int8")
+    convert.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--out", bundle, "--int8", "--int8-calib", "2",
+    ])
+    out = capsys.readouterr().out
+    assert '"quantized": true' in out, out
+    manifest = json.load(open(os.path.join(bundle, "bundle.json")))
+    assert manifest["dtype"] == "int8" and manifest["quantized"] is True
+    assert manifest["provenance"]["int8_calib_frames"] == 2
+
+    import tpupose.models.convert as mc
+
+    def _boom(*a, **k):
+        raise AssertionError("checkpoint converter called in --bundle mode")
+
+    monkeypatch.setattr(mc, "load_hrnet_torch_checkpoint", _boom)
+    monkeypatch.setattr(mc, "load_darknet_weights", _boom)
+    # --int8 alongside a quantized bundle must be a no-op, not a re-quantize
+    from tpupose.pipeline.facade import Pipeline
+
+    def _noquant(*a, **k):
+        raise AssertionError("quantize_models called on a quantized bundle")
+
+    monkeypatch.setattr(Pipeline, "quantize_models", _noquant)
+
+    evalmodel.main([
+        "--dataset", "MiniCampus", "--config-dir", mini["config_dir"],
+        "--bundle", bundle, "--int8",
+    ])
+    out = capsys.readouterr().out
+    assert "Average PCP" in out, out
+    with open(pkl, "rb") as f:
+        bundled = pickle.load(f)
+
+    assert set(direct) == set(bundled)
+    for k in direct:
+        a, b = direct[k], bundled[k]
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        if a.size:
+            np.testing.assert_array_equal(a, b)

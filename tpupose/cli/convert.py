@@ -31,7 +31,7 @@ def _config_record(cfg) -> dict:
 
 
 def write_bundle(out_dir, det_cfg, det_params, pose_cfg, pose_params,
-                 provenance=None):
+                 provenance=None, dtype="bfloat16", quantized=False):
     """Save folded serving params + manifest under `out_dir`."""
     from tpupose.models.checkpoint import save_params
 
@@ -41,7 +41,8 @@ def write_bundle(out_dir, det_cfg, det_params, pose_cfg, pose_params,
     manifest = {
         "format": BUNDLE_FORMAT,
         "folded": True,
-        "dtype": "bfloat16",
+        "dtype": dtype,
+        "quantized": bool(quantized),
         "det_config": _config_record(det_cfg),
         "pose_config": _config_record(pose_cfg),
         "provenance": provenance or {},
@@ -51,14 +52,18 @@ def write_bundle(out_dir, det_cfg, det_params, pose_cfg, pose_params,
     return manifest
 
 
+def read_manifest(bundle_dir) -> dict:
+    with open(os.path.join(bundle_dir, BUNDLE_MANIFEST)) as f:
+        return json.load(f)
+
+
 def load_bundle(bundle_dir, det_cfg, pose_cfg):
     """Restore (det_params, pose_params) from a bundle, verifying that the
     manifest's configs match the YAML-derived ones (a bundle converted for a
     different topology/resolution must fail loudly, not produce garbage)."""
     from tpupose.models.checkpoint import restore_params
 
-    with open(os.path.join(bundle_dir, BUNDLE_MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = read_manifest(bundle_dir)
     if manifest.get("format") != BUNDLE_FORMAT:
         raise ValueError(
             f"unsupported bundle format {manifest.get('format')!r} "
@@ -89,6 +94,16 @@ def main(argv=None):
     parser.add_argument("--config-dir", type=str, default="configs")
     parser.add_argument("--out", type=str, required=True,
                         help="output bundle directory")
+    parser.add_argument("--int8", action="store_true",
+                        help="also post-training-quantize (PTQ) with "
+                             "activation scales calibrated on dataset "
+                             "frames — the bundle then IS the documented "
+                             "int8 serving configuration and serving needs "
+                             "no calibration pass at all")
+    parser.add_argument("--int8-calib", type=int, default=1,
+                        help="number of leading dataset frames whose views "
+                             "feed the --int8 calibration pass (same frames "
+                             "evalmodel --int8 --int8-calib would use)")
     args = parser.parse_args(argv)
 
     import jax
@@ -112,9 +127,46 @@ def main(argv=None):
     pose_raw = load_hrnet_torch_checkpoint(cfg.pose_model.checkpoint_file)
     det_params = fold_batchnorm(det_raw, dtype=jnp.bfloat16)
     pose_params = fold_batchnorm(pose_raw, dtype=jnp.bfloat16)
+    dtype, quantized, calib_frames = "bfloat16", False, 0
+
+    if args.int8:
+        # Calibrate on the SAME leading dataset frames (and through the
+        # same Pipeline.quantize_models path) that
+        # `evalmodel --int8 --int8-calib N` uses, so the bundled trees are
+        # bit-identical to the in-process serving configuration.
+        import numpy as np
+
+        from tpupose.cli.common import (
+            build_pipeline_real,
+            dataset_frame_source,
+            load_camera_parameter,
+        )
+
+        camera_parameter = load_camera_parameter(cfg)
+        source = dataset_frame_source(cfg)
+        head = []
+        for item in source:
+            head.append(item)
+            if len(head) >= max(args.int8_calib, 1):
+                break
+        if not head:
+            raise FileNotFoundError(
+                "no dataset frames available for --int8 calibration "
+                f"(dataset root {cfg.dataset.root!r})"
+            )
+        images0 = head[0][2]
+        pipe = build_pipeline_real(
+            cfg, camera_parameter, images0.shape[2], images0.shape[1]
+        )
+        pipe.quantize_models(
+            np.concatenate([item[2] for item in head], axis=0)
+        )
+        det_params, pose_params = pipe.det_params, pipe.pose_params
+        dtype, quantized, calib_frames = "int8", True, len(head)
 
     manifest = write_bundle(
         args.out, det_cfg, det_params, pose_cfg, pose_params,
+        dtype=dtype, quantized=quantized,
         provenance={
             "dataset": args.dataset,
             "yolo_weights": os.path.abspath(cfg.detect_model.weight),
@@ -122,6 +174,7 @@ def main(argv=None):
             "hrnet_checkpoint": os.path.abspath(
                 cfg.pose_model.checkpoint_file
             ),
+            "int8_calib_frames": calib_frames,
         },
     )
     n_det = sum(x.size for x in jax.tree.leaves(det_params))
@@ -129,7 +182,12 @@ def main(argv=None):
     print(f"bundle written to {args.out}")
     print(f"  det:  {n_det:,} folded params  (yolo header {header})")
     print(f"  pose: {n_pose:,} folded params")
-    print(f"  manifest: {json.dumps({k: manifest[k] for k in ('format', 'folded', 'dtype')})}")
+    print(
+        "  manifest: "
+        + json.dumps(
+            {k: manifest[k] for k in ("format", "folded", "dtype", "quantized")}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -100,7 +100,15 @@ def main(argv=None):
             bundle=args.bundle,
         )
         head = [first]
-        if args.int8:
+        bundle_quantized = False
+        if args.bundle:
+            from tpupose.cli.convert import read_manifest
+
+            bundle_quantized = bool(read_manifest(args.bundle).get("quantized"))
+            if bundle_quantized and args.int8:
+                print("note: bundle is already int8-quantized (calibrated "
+                      "at convert time); skipping in-process calibration")
+        if args.int8 and not bundle_quantized:
             # calibrate activation scales on the first --int8-calib frames'
             # views (all consumed frames are replayed into the eval loop)
             while len(head) < max(args.int8_calib, 1):

@@ -43,6 +43,155 @@ def _decode_err(kps, dec):
     return np.linalg.norm(dec[..., :2] - np.asarray(kps)[..., :2], axis=-1)
 
 
+def _save_bundle(path, params, imgs, kps):
+    """Flatten the folded tree + training batch into one npz (leaves as
+    f32: bf16<->f32 round-trips exactly)."""
+    import jax
+
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            if not node:  # folded-out BN: keep the empty dict
+                flat["e:" + prefix] = np.zeros(0, np.float32)
+                return
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat["p:" + prefix] = np.asarray(node, np.float32)
+
+    walk(jax.device_get(params), "")
+    np.savez_compressed(path, __imgs=np.asarray(imgs, np.float32),
+                        __kps=np.asarray(kps, np.float32), **flat)
+    print(f"saved trained bundle -> {path}", file=sys.stderr, flush=True)
+
+
+def _load_bundle(path):
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    params = {}
+    for key in z.files:
+        if key[:2] not in ("p:", "e:"):
+            continue
+        node, parts = params, key[2:].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if key.startswith("e:"):
+            node.setdefault(parts[-1], {})
+        else:
+            node[parts[-1]] = jnp.asarray(z[key], jnp.bfloat16)
+    return params, jnp.asarray(z["__imgs"]), jnp.asarray(z["__kps"])
+
+
+def _conv_ids_by_pred(params, pred):
+    """ids of conv dicts for which pred(path, conv_dict) is true; path is
+    the '/'-joined dict path, e.g. 'stage4/0/branches/1/2/conv1'."""
+    out = set()
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        if "weight" in node and getattr(node["weight"], "ndim", 0) == 4:
+            if pred(path, node):
+                out.add(id(node))
+            return
+        for k, v in node.items():
+            walk(v, f"{path}/{k}" if path else k)
+
+    walk(params, "")
+    return out
+
+
+def quantize_with_recipe(folded, cfg, imgs, recipe):
+    """Calibrate + quantize the folded tree under a named recipe dict:
+    keys: equalize(bool), alpha, percentile, skip('none'|'c48'|top-key),
+    bias_correct(bool)."""
+    from tpupose.models.hrnet import hrnet_apply
+    from tpupose.models.quantize import (
+        bias_correct_convs,
+        calibrate,
+        calibrate_mse,
+        equalize_convs,
+        hrnet_skip_ids,
+        quantize_convs,
+        record_bias_correction_means,
+    )
+
+    params = folded
+    if recipe.get("equalize"):
+        ch = calibrate(lambda x: hrnet_apply(params, cfg, x), imgs,
+                       per_channel=True)
+        params = equalize_convs(params, ch, recipe.get("alpha", 0.5))
+    if recipe.get("mse_act"):
+        scales = calibrate_mse(lambda x: hrnet_apply(params, cfg, x), imgs)
+    else:
+        scales = calibrate(lambda x: hrnet_apply(params, cfg, x), imgs,
+                           percentile=recipe.get("percentile"))
+    skip = set(hrnet_skip_ids(params))
+    sk = recipe.get("skip", "none")
+    if sk == "c48":  # keep the C=48 high-res branch in bf16 (its int8
+        # speedup is the smallest: it sits at the MXU lane floor)
+        skip |= _conv_ids_by_pred(
+            params, lambda path, c: c["weight"].shape[2] == 48
+        )
+    elif sk == "only":  # quantize ONLY paths containing recipe['only']
+        import re
+
+        keep = re.compile(recipe["only"])
+        skip |= _conv_ids_by_pred(
+            params, lambda path, c: not keep.search(path)
+        )
+    elif sk.startswith("re:"):  # keep bf16 every conv whose path matches
+        import re
+
+        pat = re.compile(sk[3:])
+        skip |= _conv_ids_by_pred(params, lambda path, c: bool(pat.search(path)))
+    qp = quantize_convs(params, scales, skip,
+                        weight_mse=recipe.get("mse_weight", False))
+    if recipe.get("bias_correct"):
+        means = record_bias_correction_means(
+            lambda x: hrnet_apply(params, cfg, x), imgs, scales
+        )
+        qp = bias_correct_convs(params, qp, means)
+    return params, qp
+
+
+def evaluate_recipe(folded, cfg, imgs, kps, base_err, recipe, name=""):
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.hrnet import hrnet_apply
+    from tpupose.ops.heatmap import decode_heatmaps
+
+    boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, cfg.input_size[1], cfg.input_size[0]]]),
+        (imgs.shape[0], 1),
+    )
+
+    def dec(p):
+        return decode_heatmaps(hrnet_apply(p, cfg, imgs), boxes)
+
+    eq, qp = quantize_with_recipe(folded, cfg, imgs, recipe)
+    kf = np.asarray(jax.jit(dec)(eq))
+    kq = np.asarray(jax.jit(dec)(qp))
+    err_bf = float(np.mean(_decode_err(kps, kf)))
+    err_q = float(np.mean(_decode_err(kps, kq)))
+    shift = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
+    print(
+        f"[{name}] LEARNED W48@{cfg.input_size}: decoded keypoint error "
+        f"baseline={base_err:.2f}px bf16={err_bf:.2f}px int8={err_q:.2f}px  |  "
+        f"int8-vs-bf16 shift median={np.median(shift):.3f}px "
+        f"p95={np.quantile(shift, 0.95):.3f}px max={shift.max():.2f}px",
+        flush=True,
+    )
+    return (
+        err_bf < base_err / 3
+        and float(np.median(shift)) <= 2.5
+        and abs(err_q - err_bf) < 1.0
+    )
+
+
 def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
                 cfg=None):
     import jax
@@ -51,7 +200,7 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
 
     from tpupose.models.hrnet import hrnet_apply, hrnet_init, hrnet_w48_config
     from tpupose.models.layers import fold_batchnorm
-    from tpupose.models.quantize import calibrate_bn_stats, quantize_hrnet
+    from tpupose.models.quantize import calibrate_bn_stats
     from tpupose.models.train import (
         blob_localization_batch,
         gaussian_target_heatmaps,
@@ -113,13 +262,6 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
 
     dec_train_j = jax.jit(dec_train_fn)
 
-    def dec_fn(p):
-        # serving-mode decode (bf16, inference BN / folded tree)
-        heat = hrnet_apply(p, cfg, imgs)
-        return decode_heatmaps(heat, boxes)
-
-    dec_j = jax.jit(dec_fn)
-
     base_err = float(np.mean(_decode_err(kps, np.asarray(dec_train_j(params)))))
     print(f"untrained decode error (baseline): {base_err:.2f}px",
           file=sys.stderr, flush=True)
@@ -137,7 +279,7 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
             break
 
     # write coherent running stats (train_bn left them at init), then fold
-    print("re-estimating BN running stats, folding, quantizing ...",
+    print("re-estimating BN running stats, folding ...",
           file=sys.stderr, flush=True)
     calibrate_bn_stats(
         lambda x: hrnet_apply(params, cfg, x, compute_dtype=jnp.float32),
@@ -145,31 +287,7 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
     )
     folded = fold_batchnorm(params, dtype=jnp.bfloat16)
     del params, opt_state
-    qp = quantize_hrnet(folded, cfg, imgs)
-
-    kf = np.asarray(dec_j(folded))
-    kq = np.asarray(dec_j(qp))
-    err_bf = float(np.mean(_decode_err(kps, kf)))
-    err_q = float(np.mean(_decode_err(kps, kq)))
-    shift = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
-    print(
-        f"LEARNED W48@{cfg.input_size}: decoded keypoint error "
-        f"baseline={base_err:.2f}px bf16={err_bf:.2f}px int8={err_q:.2f}px  |  "
-        f"int8-vs-bf16 shift median={np.median(shift):.3f}px "
-        f"p95={np.quantile(shift, 0.95):.3f}px max={shift.max():.2f}px"
-    )
-    # Criteria notes: a 2px shift is the decode's quarter-cell sub-pixel
-    # refinement flipping (heatmap stride 4; at a centered Gaussian peak
-    # the refinement compares two BY-CONSTRUCTION near-equal neighbors,
-    # so ANY perturbation flips it by half a cell — both answers are
-    # within half a cell of truth). The accuracy delta is the claim that
-    # matters; the shift median catches wholesale argmax jumps.
-    ok = (
-        err_bf < base_err / 3  # genuinely learned, peaky heatmaps
-        and float(np.median(shift)) <= 2.5
-        and abs(err_q - err_bf) < 1.0
-    )
-    return ok
+    return folded, imgs, kps, base_err
 
 
 def random_proxy_report(batch=32, stat_batch=8, seed=0):
@@ -223,6 +341,12 @@ def random_proxy_report(batch=32, stat_batch=8, seed=0):
     )
 
 
+def _argval(flag, default=None):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
 if __name__ == "__main__":
     if "--random" in sys.argv:
         random_proxy_report()
@@ -232,6 +356,65 @@ if __name__ == "__main__":
         from tpupose.models.hrnet import hrnet_w32_config
 
         cfg = hrnet_w32_config()
-    ok = learned_w48(cfg=cfg)
+
+    load = _argval("--load")
+    if load:
+        folded, imgs, kps = _load_bundle(load)
+        base_err = 152.64  # untrained W48 baseline (measured 2026-08-18)
+    else:
+        folded, imgs, kps, base_err = learned_w48(cfg=cfg)
+        save = _argval("--save")
+        if save:
+            _save_bundle(save, folded, imgs, kps)
+    if cfg is None:
+        from tpupose.models.hrnet import hrnet_w48_config
+
+        cfg = hrnet_w48_config()
+
+    if "--lab" in sys.argv:
+        # second-level diagnosis: inside the culprit stages (sweep round 1:
+        # stage3 +5.4px, stage4 +12.4px), is it the branch convs or the
+        # fuse layers? plus the two calibration knobs on the full model.
+        for name, rec in (
+            ("only stage3 branches", {"skip": "only",
+                                      "only": r"stage3/\d+/branches"}),
+            ("only stage3 fuse", {"skip": "only",
+                                  "only": r"stage3/\d+/fuse_layers"}),
+            ("only stage4 branches", {"skip": "only",
+                                      "only": r"stage4/\d+/branches"}),
+            ("only stage4 fuse", {"skip": "only",
+                                  "only": r"stage4/\d+/fuse_layers"}),
+            ("full, percentile 99.9", {"percentile": 99.9}),
+            ("full, equalize a=0.5", {"equalize": True, "alpha": 0.5}),
+        ):
+            evaluate_recipe(folded, cfg, imgs, kps, base_err, rec, name=name)
+        sys.exit(0)
+
+    if "--sweep" in sys.argv:
+        # sensitivity: quantize ONE top-level group at a time
+        for key in ("conv1", "conv2", "layer1", "transition1", "stage2",
+                    "transition2", "stage3", "transition3", "stage4"):
+            evaluate_recipe(folded, cfg, imgs, kps, base_err,
+                            {"skip": "only", "only": key}, name=f"only:{key}")
+        sys.exit(0)
+
+    recipe = {
+        "equalize": "--equalize" in sys.argv,
+        "alpha": float(_argval("--alpha", 0.5)),
+        "percentile": (float(_argval("--percentile"))
+                       if _argval("--percentile") else None),
+        "skip": _argval("--skip", "none"),
+        "bias_correct": "--bias-correct" in sys.argv,
+        "mse_act": "--mse-act" in sys.argv,
+        "mse_weight": "--mse-weight" in sys.argv,
+    }
+    # Criteria notes: a 2px shift is the decode's quarter-cell sub-pixel
+    # refinement flipping (heatmap stride 4; at a centered Gaussian peak
+    # the refinement compares two BY-CONSTRUCTION near-equal neighbors,
+    # so ANY perturbation flips it by half a cell — both answers are
+    # within half a cell of truth). The accuracy delta is the claim that
+    # matters; the shift median catches wholesale argmax jumps.
+    ok = evaluate_recipe(folded, cfg, imgs, kps, base_err, recipe,
+                         name=f"recipe {recipe}")
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -325,6 +325,65 @@ def test_equalize_convs_is_float_exact_and_structural():
     assert np.median(np.abs(hf - hq)) / rng_h < 0.02
 
 
+def test_bias_correction_reduces_systematic_drift():
+    # post-quantization bias correction (quantize.bias_correct_convs):
+    # absorbs the nonzero MEAN of each quantized conv's error into its
+    # bias. Asserts (a) the output-mean drift |E[f32 - int8]| genuinely
+    # shrinks, (b) only quantized convs were touched (the skipped head
+    # passes through), (c) overall error does not blow up.
+    from tpupose.models.quantize import (
+        bias_correct_convs,
+        calibrate,
+        calibrate_bn_stats,
+        hrnet_skip_ids,
+        record_bias_correction_means,
+    )
+
+    cfg = tiny_test_config()
+    raw = hrnet_init(jax.random.PRNGKey(7), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(8).random((4, *cfg.input_size, 3)), jnp.float32
+    )
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+    params = fold_batchnorm(raw, dtype=jnp.bfloat16)
+    apply_fn = lambda p, b: hrnet_apply(p, cfg, b)  # noqa: E731
+
+    scales = calibrate(lambda b: apply_fn(params, b), x)
+    qp = quantize_convs(params, scales, hrnet_skip_ids(params))
+    means = record_bias_correction_means(
+        lambda b: apply_fn(params, b), x, scales
+    )
+    # every quantized conv got a mean pair sized by its input channels
+    assert all(
+        m.shape == mq.shape and m.ndim == 1 for m, mq in means.values()
+    )
+    qpc = bias_correct_convs(params, qp, means)
+
+    # the skipped final head is untouched; a quantized conv's bias moved
+    np.testing.assert_array_equal(
+        np.asarray(qp["final_layer"]["weight"]),
+        np.asarray(qpc["final_layer"]["weight"]),
+    )
+    assert not np.allclose(
+        np.asarray(qp["layer1"]["0"]["conv1"]["bias"]),
+        np.asarray(qpc["layer1"]["0"]["conv1"]["bias"]),
+    )
+
+    hf = np.asarray(apply_fn(params, x), np.float32)
+    hq = np.asarray(apply_fn(qp, x), np.float32)
+    hc = np.asarray(apply_fn(qpc, x), np.float32)
+    rng_h = hf.max() - hf.min()
+    drift_plain = abs(float(np.mean(hf - hq)))
+    drift_corr = abs(float(np.mean(hf - hc)))
+    assert drift_corr < drift_plain, (drift_plain, drift_corr)
+    # correction must not degrade the overall error band
+    assert np.median(np.abs(hf - hc)) / rng_h < 1.5 * np.median(
+        np.abs(hf - hq)
+    ) / rng_h
+
+
 def test_skip_lists_are_structural():
     # the float-kept YOLO convs must be EXACTLY the detection heads, for
     # the full-size spec and the tiny test spec alike (guards against the

@@ -113,12 +113,36 @@ def calibrate(apply_fn, *batches, percentile=None, per_channel=False):
     return out
 
 
-def _quantize_conv(p, absmax):
+#: weight-scale MSE search grid (fractions of per-channel absmax); 1.0 is
+#: always included so the search can never be worse than absmax on the
+#: quantized-weight MSE it minimizes.
+_WEIGHT_MSE_GRID = tuple(np.linspace(0.4, 1.0, 13))
+
+
+def _quantize_conv(p, absmax, weight_mse=False):
     """Traced per-conv quantization: per-output-channel weight scales,
-    per-tensor input scale (a Python float baked in as a constant)."""
+    per-tensor input scale (a Python float baked in as a constant).
+
+    weight_mse=True replaces the absmax weight scale with a per-channel
+    grid search minimizing the weight quantization MSE (clipping a few
+    outlier weights buys finer resolution for the bulk)."""
     w = p["weight"].astype(jnp.float32)  # HWIO
-    w_scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # per cout
-    w_scale = jnp.maximum(w_scale, 1e-12)
+    a = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12)  # per cout
+    if weight_mse:
+        best_s = a / 127.0
+        best_err = None
+        for k in _WEIGHT_MSE_GRID:
+            s = a * (k / 127.0)
+            q = jnp.clip(jnp.round(w / s), -127, 127) * s
+            err = jnp.sum((w - q) ** 2, axis=(0, 1, 2))
+            if best_err is None:
+                best_err, best_s = err, s
+            else:
+                best_s = jnp.where(err < best_err, s, best_s)
+                best_err = jnp.minimum(err, best_err)
+        w_scale = best_s
+    else:
+        w_scale = a / 127.0
     weight_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
     x_scale = max(float(absmax) / 127.0, 1e-12)
     out = {
@@ -131,7 +155,7 @@ def _quantize_conv(p, absmax):
     return out
 
 
-def quantize_convs(params, act_scales, skip_ids=()):
+def quantize_convs(params, act_scales, skip_ids=(), weight_mse=False):
     """Replace conv param dicts with quantized dicts.
 
     The id()-keyed plan is computed on the ORIGINAL tree (Python side),
@@ -167,7 +191,7 @@ def quantize_convs(params, act_scales, skip_ids=()):
 
     def walk(node, pl):
         if isinstance(pl, float):
-            return _quantize_conv(node, pl)
+            return _quantize_conv(node, pl, weight_mse=weight_mse)
         if not isinstance(node, dict):
             return node
         return {k: walk(v, pl[k]) for k, v in node.items()}
@@ -379,6 +403,164 @@ def equalize_convs(params, channel_ranges, alpha=0.5):
         return node
 
     return jax.jit(lambda tree: walk(tree, structure_plan))(params)
+
+
+class _MSERecorder(ActRecorder):
+    """Evaluates, for every conv input, the quantize-dequantize MSE at a
+    grid of candidate ranges (fractions of the conv's recorded absmax);
+    `calibrate_mse` picks the argmin per conv."""
+
+    def __init__(self, absmax, candidates):
+        super().__init__()
+        self.absmax = absmax
+        self.candidates = candidates
+
+    def observe(self, p, x):
+        a = self.absmax.get(id(p))
+        if a is None:
+            return
+        xf = x.astype(jnp.float32)
+        errs = []
+        for k in self.candidates:
+            s = max(float(a) * k / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(xf / s), -127, 127) * s
+            errs.append(jnp.mean(jnp.square(xf - q)))
+        self.taps.append((id(p), jnp.stack(errs)))
+
+
+#: activation-range MSE search grid (fractions of absmax); includes 1.0
+#: so the search can never be worse than absmax on its own objective.
+_ACT_MSE_GRID = tuple(np.linspace(0.35, 1.0, 14))
+
+
+def calibrate_mse(apply_fn, *batches, candidates=_ACT_MSE_GRID):
+    """MSE-optimal activation ranges (one absmax pass + one search pass).
+
+    Per-tensor absmax maps int8 127 to the single largest |activation|; a
+    rare spike then wastes most of the 8-bit grid on values that never
+    occur. Percentile calibration clips blindly; this instead picks, per
+    conv, the range r = k*absmax (k over `candidates`) minimizing the
+    measured E[(x - qdq(x; r))^2] on the calibration batches — the same
+    objective the accumulated int8 noise is made of. Drop-in replacement
+    for `calibrate`; feed the result to `quantize_convs`.
+    """
+    absmax = calibrate(apply_fn, *batches)
+    acc = {}
+    for batch in batches:
+        rec = _MSERecorder(absmax, candidates)
+
+        def traced(x):
+            ActRecorder.active = rec
+            try:
+                apply_fn(x)
+            finally:
+                ActRecorder.active = None
+            return jnp.stack([t for _, t in rec.taps])
+
+        vals = np.asarray(jax.jit(traced)(batch))
+        for (key, _), v in zip(rec.taps, vals):
+            acc[key] = acc.get(key, 0.0) + v
+    return {
+        k: float(absmax[k]) * float(candidates[int(np.argmin(v))])
+        for k, v in acc.items()
+    }
+
+
+class _MeanRecorder(ActRecorder):
+    """Records each conv input's per-channel mean AND the per-channel mean
+    of its int8 quantize-dequantize image at the calibrated scale —
+    the two first moments `bias_correct_convs` needs. C-vector per conv:
+    negligible memory, one traced pass."""
+
+    def __init__(self, act_scales):
+        super().__init__()
+        self.scales = act_scales
+
+    def observe(self, p, x):
+        rng = self.scales.get(id(p))
+        if rng is None:
+            return
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        s = max(float(rng) / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(xf / s), -127, 127) * s
+        self.taps.append((id(p), (jnp.mean(xf, axes), jnp.mean(xq, axes))))
+
+
+def record_bias_correction_means(apply_fn, batch, act_scales):
+    """One traced forward collecting (E[x], E[qdq(x)]) per conv input
+    channel for every conv in `act_scales` (same closure contract as
+    `calibrate`). Feed the result to `bias_correct_convs`."""
+    rec = _MeanRecorder(act_scales)
+
+    def traced(x):
+        ActRecorder.active = rec
+        try:
+            apply_fn(x)
+        finally:
+            ActRecorder.active = None
+        return [t for _, t in rec.taps]
+
+    vals = jax.jit(traced)(batch)
+    return {
+        key: (np.asarray(m), np.asarray(mq))
+        for (key, _), (m, mq) in zip(rec.taps, vals)
+    }
+
+
+def bias_correct_convs(params, qparams, means):
+    """Post-quantization bias correction (Nagel et al., data-free
+    quantization): absorb the SYSTEMATIC output drift of each quantized
+    conv into its bias.
+
+    Per-tensor activation + per-channel weight quantization leave a
+    nonzero-mean error e(x) = W_f x - W_dq qdq(x); over hundreds of convs
+    these means compound through the residual trunk (measured: the W48
+    learned-model agreement check fails on argmax jumps without this).
+    Using spatial stationarity, E[e] per output channel is
+
+        sum_{kh,kw,cin} W_f[...]  E[x][cin] - W_dq[...] E[qdq(x)][cin]
+
+    with the input means recorded by `record_bias_correction_means` on
+    calibration data. Exact for interior pixels; border taps see zero
+    padding, where both terms vanish.
+
+    Args:
+      params:  the BN-folded float tree (structure + float weights).
+      qparams: `quantize_convs(params, ...)` output (same structure).
+      means:   dict id(float conv dict) -> (E[x], E[qdq(x)]) per cin.
+
+    Returns a new quantized tree with corrected biases. Skipped (float)
+    convs pass through untouched.
+    """
+
+    def plan(fnode):
+        if not isinstance(fnode, dict):
+            return None
+        if _is_conv4(fnode):
+            return means.get(id(fnode))
+        return {k: plan(v) for k, v in fnode.items()}
+
+    structure_plan = plan(params)
+
+    def walk(fnode, qnode, pl):
+        if isinstance(pl, tuple):
+            if not is_quantized_conv(qnode):
+                return qnode  # skipped conv stayed float
+            mx, mxq = jnp.asarray(pl[0]), jnp.asarray(pl[1])
+            wf = fnode["weight"].astype(jnp.float32)
+            wdq = qnode["weight_q"].astype(jnp.float32) * qnode["w_scale"]
+            corr = jnp.einsum("hwio,i->o", wf, mx) - jnp.einsum(
+                "hwio,i->o", wdq, mxq
+            )
+            out = dict(qnode)
+            out["bias"] = qnode.get("bias", 0.0) + corr
+            return out
+        if not isinstance(fnode, dict) or pl is None:
+            return qnode
+        return {k: walk(fnode[k], qnode[k], pl[k]) for k in qnode}
+
+    return jax.jit(lambda f, q: walk(f, q, structure_plan))(params, qparams)
 
 
 def uncalibrated_scales(params, skip_ids=()):

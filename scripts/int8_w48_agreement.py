@@ -43,6 +43,24 @@ def _decode_err(kps, dec):
     return np.linalg.norm(dec[..., :2] - np.asarray(kps)[..., :2], axis=-1)
 
 
+def _fetch(fn, *args, tries=5):
+    """Run a jitted fn and fetch the result, riding out transient TPU-tunnel
+    outages (the relay sporadically fails a fetch with InvalidArgument —
+    see bench.py; re-dispatching succeeds)."""
+    import time
+
+    for attempt in range(tries):
+        try:
+            return np.asarray(fn(*args))
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            if attempt == tries - 1:
+                raise
+            print(f"  transient fetch failure ({type(e).__name__}); "
+                  f"retrying in {5 * (attempt + 1)}s ...",
+                  file=sys.stderr, flush=True)
+            time.sleep(5 * (attempt + 1))
+
+
 def _save_bundle(path, params, imgs, kps):
     """Flatten the folded tree + training batch into one npz (leaves as
     f32: bf16<->f32 round-trips exactly)."""
@@ -157,6 +175,148 @@ def quantize_with_recipe(folded, cfg, imgs, recipe):
     return params, qp
 
 
+def qat_evaluate(folded, cfg, imgs, kps, base_err, steps=300, block=50,
+                 lr=1e-4):
+    """Quantization-aware fine-tuning: fake-quant forward with
+    straight-through gradients for `steps` steps on the training batch,
+    then requantize and compare the QAT int8 model against the ORIGINAL
+    bf16 model (the serving claim: int8 keeps bf16's accuracy)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.models.hrnet import hrnet_apply
+    from tpupose.models.quantize import (
+        calibrate,
+        fake_quant_convs,
+        hrnet_skip_ids,
+        requantize_after_qat,
+    )
+    from tpupose.models.train import (
+        gaussian_target_heatmaps,
+        make_train_step,
+    )
+    from tpupose.ops.heatmap import decode_heatmaps
+
+    boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, cfg.input_size[1], cfg.input_size[0]]]),
+        (imgs.shape[0], 1),
+    )
+
+    def dec(p):
+        return decode_heatmaps(hrnet_apply(p, cfg, imgs), boxes)
+
+    # decode the ORIGINAL bf16 model up front (also isolates any later
+    # failure to the post-training state, not this program)
+    kf = _fetch(jax.jit(dec), folded)
+
+    scales = calibrate(lambda x: hrnet_apply(folded, cfg, x), imgs)
+    fq = fake_quant_convs(folded, scales, hrnet_skip_ids(folded))
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    targets = targets * 10.0
+    # adam, not adamw: weight decay would shrink the frozen fq_x_scale
+    # leaves (see fake_quant_convs docstring)
+    optimizer = optax.adam(lr)
+    opt_state = jax.jit(optimizer.init)(fq)
+    step = make_train_step(cfg, optimizer, compute_dtype=jnp.float32)
+
+    def train_block(p, o):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, imgs, targets, weights)
+            return (p, o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=block)
+        return p, o, losses[-1]
+
+    train_block_j = jax.jit(train_block, donate_argnums=(0, 1))
+    print(f"QAT fine-tuning ({steps} steps, STE fake-quant fwd) ...",
+          file=sys.stderr, flush=True)
+    for done in range(block, steps + 1, block):
+        fq, opt_state, loss = train_block_j(fq, opt_state)
+        print(f"  qat step {done}: loss={float(loss):.5f}",
+              file=sys.stderr, flush=True)
+    # free the training state before the eval programs run: the f32
+    # student + adam mu/nu hold ~760 MB and thousands of live relay
+    # buffers (both qat runs died with InvalidArgument at the post-
+    # training decode before this cleanup)
+    del opt_state, targets, weights
+    qp = requantize_after_qat(fq)
+    del fq
+
+    kq = _fetch(jax.jit(dec), qp)       # QAT int8 serving model
+    err_bf = float(np.mean(_decode_err(kps, kf)))
+    err_q = float(np.mean(_decode_err(kps, kq)))
+    shift = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
+    print(
+        f"[QAT {steps}@{lr}] LEARNED W48@{cfg.input_size}: decoded keypoint "
+        f"error baseline={base_err:.2f}px bf16={err_bf:.2f}px "
+        f"int8(QAT)={err_q:.2f}px  |  int8-vs-bf16 shift "
+        f"median={np.median(shift):.3f}px "
+        f"p95={np.quantile(shift, 0.95):.3f}px max={shift.max():.2f}px",
+        flush=True,
+    )
+    return (
+        err_bf < base_err / 3
+        and float(np.median(shift)) <= 2.5
+        and abs(err_q - err_bf) < 1.0
+    )
+
+
+def distill_evaluate(folded, cfg, imgs, kps, base_err, steps=300, lr=1e-5,
+                     batch=4):
+    """The SHIPPABLE QAT path (`quantize.distill_qat`, what
+    `convert/evalmodel --int8 --qat-steps N` run): label-free fine-tune of
+    the fake-quant tree against the float model's own outputs, then
+    requantize — evaluated at W48 scale against the bf16 model."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.hrnet import hrnet_apply
+    from tpupose.models.quantize import distill_qat, hrnet_skip_ids
+    from tpupose.ops.heatmap import decode_heatmaps
+
+    def apply_fn(p, b):
+        return hrnet_apply(p, cfg, b)
+
+    batches = [imgs[i:i + batch] for i in range(0, imgs.shape[0], batch)]
+    print(f"distill-QAT ({steps} steps @ lr={lr}, {len(batches)} batches of "
+          f"{batch}) ...", file=sys.stderr, flush=True)
+    qp = distill_qat(
+        apply_fn, folded, cfg, batches, steps=steps, lr=lr,
+        skip_ids=hrnet_skip_ids(folded),
+        log=lambda i, l: print(f"  distill step {i}: loss={l:.6f}",
+                               file=sys.stderr, flush=True),
+    )
+
+    boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, cfg.input_size[1], cfg.input_size[0]]]),
+        (imgs.shape[0], 1),
+    )
+
+    def dec(p):
+        return decode_heatmaps(hrnet_apply(p, cfg, imgs), boxes)
+
+    kf = _fetch(jax.jit(dec), folded)   # float teacher == serving bf16
+    kq = _fetch(jax.jit(dec), qp)       # distilled int8 serving tree
+    err_bf = float(np.mean(_decode_err(kps, kf)))
+    err_q = float(np.mean(_decode_err(kps, kq)))
+    shift = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
+    print(
+        f"[distill-QAT {steps}@{lr}] LEARNED W48@{cfg.input_size}: decoded "
+        f"keypoint error baseline={base_err:.2f}px bf16={err_bf:.2f}px "
+        f"int8(distill)={err_q:.2f}px  |  int8-vs-bf16 shift "
+        f"median={np.median(shift):.3f}px "
+        f"p95={np.quantile(shift, 0.95):.3f}px max={shift.max():.2f}px",
+        flush=True,
+    )
+    return (
+        err_bf < base_err / 3
+        and float(np.median(shift)) <= 2.5
+        and abs(err_q - err_bf) < 1.0
+    )
+
+
 def evaluate_recipe(folded, cfg, imgs, kps, base_err, recipe, name=""):
     import jax
     import jax.numpy as jnp
@@ -173,8 +333,8 @@ def evaluate_recipe(folded, cfg, imgs, kps, base_err, recipe, name=""):
         return decode_heatmaps(hrnet_apply(p, cfg, imgs), boxes)
 
     eq, qp = quantize_with_recipe(folded, cfg, imgs, recipe)
-    kf = np.asarray(jax.jit(dec)(eq))
-    kq = np.asarray(jax.jit(dec)(qp))
+    kf = _fetch(jax.jit(dec), eq)
+    kq = _fetch(jax.jit(dec), qp)
     err_bf = float(np.mean(_decode_err(kps, kf)))
     err_q = float(np.mean(_decode_err(kps, kq)))
     shift = np.linalg.norm(kf[..., :2] - kq[..., :2], axis=-1)
@@ -370,6 +530,21 @@ if __name__ == "__main__":
         from tpupose.models.hrnet import hrnet_w48_config
 
         cfg = hrnet_w48_config()
+
+    if "--qat" in sys.argv:
+        steps = int(_argval("--qat", 300))
+        ok = qat_evaluate(folded, cfg, imgs, kps, base_err, steps=steps,
+                          lr=float(_argval("--lr", 1e-4)))
+        print("OK" if ok else "FAIL")
+        sys.exit(0 if ok else 1)
+
+    if "--distill" in sys.argv:
+        steps = int(_argval("--distill", 300))
+        ok = distill_evaluate(folded, cfg, imgs, kps, base_err, steps=steps,
+                              lr=float(_argval("--lr", 1e-5)),
+                              batch=int(_argval("--batch", 4)))
+        print("OK" if ok else "FAIL")
+        sys.exit(0 if ok else 1)
 
     if "--lab" in sys.argv:
         # second-level diagnosis: inside the culprit stages (sweep round 1:

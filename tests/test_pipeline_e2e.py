@@ -112,3 +112,52 @@ def test_quantized_pipeline_smoke():
         dq = np.asarray(dets_q)[both][..., :2]
         d = np.linalg.norm(df - dq, axis=-1)
         assert np.median(d) < 8.0  # heatmap cell = 4 input px at 2 cells
+
+
+def test_quantize_models_qat_mode():
+    # qat_steps>0 upgrades PTQ to label-free distillation QAT inside the
+    # pipeline: both backbones come out as real int8 trees and the fused
+    # clip program still runs and agrees with bf16 where both detect.
+    from tpupose.models.layers import fold_batchnorm
+    from tpupose.models.quantize import is_quantized_conv
+
+    scene = make_scene(num_frames=2, num_cameras=3, num_actors=2, seed=0)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width, scene.height)
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    tcfg = TrackerConfig(num_cameras=3, max_dets=8)
+    pipe = Pipeline(
+        cams=rig,
+        tracker_cfg=tcfg,
+        det_cfg=det_cfg,
+        det_params=fold_batchnorm(yolov3_init(jax.random.PRNGKey(0), det_cfg)),
+        pose_cfg=pose_cfg,
+        pose_params=fold_batchnorm(hrnet_init(jax.random.PRNGKey(1), pose_cfg)),
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (3, 120, 160, 3), np.uint8)
+    clip = np.stack([images, images])
+    dets_f, mask_f = pipe.process_clip_nn(clip)
+
+    logs = []
+    pipe.quantize_models(images, qat_steps=6, qat_batch=2,
+                         qat_log=lambda i, l: logs.append((i, l)))
+    assert is_quantized_conv(pipe.pose_params["layer1"]["0"]["conv1"])
+    assert is_quantized_conv(pipe.det_params["conv1"]["conv"])
+    # no fake-quant leaves left anywhere in the serving trees
+    import jax as _jax
+
+    for tree in (pipe.det_params, pipe.pose_params):
+        assert not any(
+            "fq_x_scale" in str(p)
+            for p, _ in _jax.tree_util.tree_leaves_with_path(tree)
+        )
+    assert logs  # progress callback fired
+    dets_q, mask_q = pipe.process_clip_nn(clip)
+    both = np.asarray(mask_f) & np.asarray(mask_q)
+    if both.any():
+        d = np.linalg.norm(
+            np.asarray(dets_f)[both][..., :2] - np.asarray(dets_q)[both][..., :2],
+            axis=-1,
+        )
+        assert np.median(d) < 8.0

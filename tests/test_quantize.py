@@ -537,3 +537,140 @@ def test_quantized_params_checkpoint_roundtrip(tmp_path):
     out_a = hrnet_apply(qp, cfg, x)
     out_b = hrnet_apply(restored, cfg, x)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_qat_fake_quant_matches_int8_serving_path():
+    # The QAT contract: the fake-quant forward (f32 qdq convs, STE) must
+    # simulate EXACTLY what requantize_after_qat ships — same weight-scale
+    # formula, same activation scales — so the fine-tuned accuracy carries
+    # over to the int8 serving tree. Before any training step, the
+    # requantized tree must equal quantize_convs' PTQ output bit-for-bit,
+    # and the fake-quant forward must track the int8 forward to f32-vs-
+    # int32-accumulation rounding.
+    from tpupose.models.quantize import (
+        fake_quant_convs,
+        hrnet_skip_ids,
+        requantize_after_qat,
+    )
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, *cfg.input_size, 3)), jnp.float32)
+    raw = hrnet_init(jax.random.PRNGKey(8), cfg)
+    from tpupose.models.quantize import calibrate_bn_stats
+
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+    params = fold_batchnorm(raw)
+    scales = calibrate(lambda b: hrnet_apply(params, cfg, b), x)
+    skip = hrnet_skip_ids(params)
+
+    fq = fake_quant_convs(params, scales, skip)
+    # the skip-listed head carries no fq leaf
+    assert "fq_x_scale" not in fq["final_layer"]
+    assert "fq_x_scale" in fq["layer1"]["0"]["conv1"]
+
+    q_ptq = quantize_convs(params, scales, skip)
+    q_qat = requantize_after_qat(fq)
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(q_ptq),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(q_qat),
+               key=lambda t: str(t[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), str(ka))
+
+    heat_fq = np.asarray(
+        hrnet_apply(fq, cfg, x, compute_dtype=jnp.float32)
+    )
+    heat_q = np.asarray(hrnet_apply(q_qat, cfg, x, compute_dtype=jnp.float32))
+    rng_h = heat_q.max() - heat_q.min()
+    # f32 qdq conv vs int8+int32 accumulation: same grid, tiny roundoff
+    assert np.max(np.abs(heat_fq - heat_q)) < 0.02 * rng_h
+
+
+def test_qat_steps_reduce_fake_quant_loss():
+    # a few STE steps on the fake-quant tree must reduce the quantized
+    # forward's loss (the whole point of QAT), leave fq_x_scale leaves
+    # untouched (zero STE gradient + decay-free adam), and keep the tree
+    # requantizable.
+    import optax
+
+    from tpupose.models.quantize import (
+        calibrate_bn_stats,
+        fake_quant_convs,
+        hrnet_skip_ids,
+        requantize_after_qat,
+    )
+    from tpupose.models.train import (
+        blob_localization_batch,
+        gaussian_target_heatmaps,
+        heatmap_loss,
+        make_train_step,
+    )
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(5)
+    imgs, kps = blob_localization_batch(rng, cfg, 2)
+    targets, weights = gaussian_target_heatmaps(cfg, kps)
+    raw = hrnet_init(jax.random.PRNGKey(9), cfg)
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), imgs
+    )
+    params = fold_batchnorm(raw)
+    scales = calibrate(lambda b: hrnet_apply(params, cfg, b), imgs)
+    fq = fake_quant_convs(params, scales, hrnet_skip_ids(params))
+    s_before = float(fq["layer1"]["0"]["conv1"]["fq_x_scale"])
+
+    optimizer = optax.adam(1e-3)
+    opt_state = jax.jit(optimizer.init)(fq)
+    step = jax.jit(make_train_step(cfg, optimizer, compute_dtype=jnp.float32))
+    loss0 = float(
+        heatmap_loss(fq, cfg, imgs, targets, weights, jnp.float32)
+    )
+    for _ in range(8):
+        fq, opt_state, loss = step(fq, opt_state, imgs, targets, weights)
+    assert float(loss) < loss0, (float(loss), loss0)
+    assert float(fq["layer1"]["0"]["conv1"]["fq_x_scale"]) == s_before
+    q = requantize_after_qat(fq)
+    out = hrnet_apply(q, cfg, imgs)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_distill_qat_beats_ptq_agreement():
+    # label-free QAT: fine-tuning the fake-quant tree against the float
+    # model's own outputs must yield an int8 tree that tracks the float
+    # model more closely than plain PTQ on the same calibration batch.
+    from tpupose.models.quantize import (
+        calibrate_bn_stats,
+        distill_qat,
+        hrnet_skip_ids,
+        quantize_hrnet,
+    )
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((2, *cfg.input_size, 3)), jnp.float32)
+    raw = hrnet_init(jax.random.PRNGKey(10), cfg)
+    calibrate_bn_stats(
+        lambda b: hrnet_apply(raw, cfg, b, compute_dtype=jnp.float32), x
+    )
+    params = fold_batchnorm(raw)
+
+    def apply_fn(p, b):
+        return hrnet_apply(p, cfg, b, compute_dtype=jnp.float32)
+
+    ref = np.asarray(apply_fn(params, x))
+    q_ptq = quantize_hrnet(params, cfg, x)
+    q_qat = distill_qat(apply_fn, params, cfg, [x], steps=40, lr=1e-4,
+                        skip_ids=hrnet_skip_ids(params))
+    mse_ptq = float(np.mean((np.asarray(apply_fn(q_ptq, x)) - ref) ** 2))
+    mse_qat = float(np.mean((np.asarray(apply_fn(q_qat, x)) - ref) ** 2))
+    assert mse_qat < mse_ptq, (mse_qat, mse_ptq)
+    # the serving tree is a real int8 tree (no fq leaves anywhere)
+    assert not any(
+        "fq_x_scale" in str(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(q_qat)
+    )

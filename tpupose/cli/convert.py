@@ -104,6 +104,14 @@ def main(argv=None):
                         help="number of leading dataset frames whose views "
                              "feed the --int8 calibration pass (same frames "
                              "evalmodel --int8 --int8-calib would use)")
+    parser.add_argument("--qat-steps", type=int, default=0,
+                        help="with --int8: label-free QAT — fine-tune each "
+                             "backbone for N straight-through steps against "
+                             "its own float outputs on the calibration "
+                             "frames before requantizing "
+                             "(tpupose.models.quantize.distill_qat). The "
+                             "natural place to pay the cost: once, at "
+                             "convert time; the bundle ships the result")
     args = parser.parse_args(argv)
 
     import jax
@@ -159,7 +167,9 @@ def main(argv=None):
             cfg, camera_parameter, images0.shape[2], images0.shape[1]
         )
         pipe.quantize_models(
-            np.concatenate([item[2] for item in head], axis=0)
+            np.concatenate([item[2] for item in head], axis=0),
+            qat_steps=args.qat_steps,
+            qat_log=lambda i, l: print(f"  qat step {i}: loss={l:.6f}"),
         )
         det_params, pose_params = pipe.det_params, pipe.pose_params
         dtype, quantized, calib_frames = "int8", True, len(head)
@@ -175,6 +185,7 @@ def main(argv=None):
                 cfg.pose_model.checkpoint_file
             ),
             "int8_calib_frames": calib_frames,
+            "int8_qat_steps": args.qat_steps if args.int8 else 0,
         },
     )
     n_det = sum(x.size for x in jax.tree.leaves(det_params))

@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--int8-calib", type=int, default=1,
                         help="number of leading frames whose views feed the "
                              "--int8 activation-scale calibration pass")
+    parser.add_argument("--qat-steps", type=int, default=0,
+                        help="with --int8: label-free QAT — fine-tune each "
+                             "backbone for N straight-through steps to match "
+                             "its own float outputs on the calibration "
+                             "frames before requantizing (distill_qat); "
+                             "0 = plain PTQ")
     parser.add_argument("--bundle", type=str, default=None,
                         help="pre-converted orbax serving bundle dir "
                              "(python -m tpupose.cli.convert); serving then "
@@ -117,7 +123,8 @@ def main(argv=None):
                 except StopIteration:
                     break
             pipe.quantize_models(
-                np.concatenate([item[2] for item in head], axis=0)
+                np.concatenate([item[2] for item in head], axis=0),
+                qat_steps=args.qat_steps,
             )
         image_hw = (images0.shape[1], images0.shape[2])
 

@@ -45,6 +45,11 @@ def conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
 
         return quantized_conv_apply(p, x, stride=stride, padding=padding,
                                     dilation=dilation)
+    if "fq_x_scale" in p:
+        from tpupose.models.quantize import fake_quant_conv_apply
+
+        return fake_quant_conv_apply(p, x, stride=stride, padding=padding,
+                                     dilation=dilation)
     from tpupose.models.quantize import ActRecorder
 
     if ActRecorder.active is not None:

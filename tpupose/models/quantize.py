@@ -268,6 +268,178 @@ def is_quantized_conv(p):
     return isinstance(p, dict) and "weight_q" in p
 
 
+# -- quantization-aware fine-tuning (QAT) -------------------------------------
+
+def _ste_qdq(t, s):
+    """Quantize-dequantize with straight-through gradients (the standard
+    QAT estimator: forward sees the int8 grid, backward sees identity)."""
+    q = jnp.clip(jnp.round(t / s), -127, 127) * s
+    return t + jax.lax.stop_gradient(q - t)
+
+
+def fake_quant_convs(params, act_scales, skip_ids=()):
+    """Fake-quantized (QAT) view of a BN-FOLDED tree.
+
+    Each calibrated conv dict gains an `fq_x_scale` leaf (the calibrated
+    per-tensor input scale); `conv_apply` then simulates int8 serving with
+    straight-through gradients, so the tree can be fine-tuned by the
+    ordinary `make_train_step` — the model learns weights that survive
+    the int8 grid. Weight scales are re-derived from the live weights
+    each step (per-output-channel absmax, gradient-stopped), exactly the
+    formula `quantize_convs` applies afterwards, so
+    `requantize_after_qat` reproduces the trained forward (up to int32-
+    vs-f32 accumulation rounding).
+
+    Fine-tune with a decay-free optimizer (e.g. `optax.adam`): AdamW's
+    weight decay would shrink the frozen `fq_x_scale` leaves.
+    """
+    skip = set(skip_ids)
+
+    def plan(node):
+        if not isinstance(node, dict):
+            return None
+        if (
+            _is_conv4(node)
+            and id(node) in act_scales
+            and id(node) not in skip
+        ):
+            return max(float(act_scales[id(node)]) / 127.0, 1e-12)
+        return {k: plan(v) for k, v in node.items()}
+
+    structure_plan = plan(params)
+
+    def walk(node, pl):
+        if isinstance(pl, float):
+            out = dict(node)
+            out["fq_x_scale"] = jnp.float32(pl)
+            return out
+        if not isinstance(node, dict):
+            return node
+        return {k: walk(v, pl[k]) for k, v in node.items()}
+
+    return walk(params, structure_plan)
+
+
+def fake_quant_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
+    """Forward of a fake-quant conv dict (dispatched by `conv_apply`)."""
+    w = p["weight"].astype(jnp.float32)
+    ws = jnp.maximum(
+        jnp.max(jnp.abs(jax.lax.stop_gradient(w)), axis=(0, 1, 2)) / 127.0,
+        1e-12,
+    )
+    wq = _ste_qdq(w, ws)
+    xq = _ste_qdq(x.astype(jnp.float32), p["fq_x_scale"])
+    s = (stride, stride) if isinstance(stride, int) else stride
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if padding == "TORCH":
+        kh, kw = w.shape[0], w.shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=s, padding=padding, rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def requantize_after_qat(fq_params):
+    """Turn a QAT-fine-tuned fake-quant tree into the real int8 serving
+    tree: every `fq_x_scale`-carrying conv is quantized at its baked
+    activation scale (weight scales from the trained weights — the same
+    absmax formula the fake-quant forward used); other nodes pass
+    through float."""
+
+    def plan(node):
+        if not isinstance(node, dict):
+            return None
+        if "fq_x_scale" in node:
+            return True
+        return {k: plan(v) for k, v in node.items()}
+
+    structure_plan = plan(fq_params)
+
+    def walk(node, pl):
+        if pl is True:
+            clean = {k: v for k, v in node.items() if k != "fq_x_scale"}
+            q = _quantize_conv(clean, 0.0)  # absmax placeholder, fixed below
+            q["x_scale"] = node["fq_x_scale"]
+            return q
+        if not isinstance(node, dict):
+            return node
+        return {k: walk(v, pl[k]) for k, v in node.items()}
+
+    return jax.jit(lambda t: walk(t, structure_plan))(fq_params)
+
+
+def distill_qat(apply_fn, folded, cfg, batches, steps=200, lr=1e-5,
+                skip_ids=None, log=None):
+    """LABEL-FREE quantization-aware fine-tuning by self-distillation.
+
+    Serving-time QAT rarely has ground truth; what it always has is the
+    float model itself. This fine-tunes the fake-quant tree to match the
+    FLOAT model's own outputs on the calibration batches — exactly the
+    quantity the int8-vs-bf16 agreement claim measures — with
+    straight-through gradients, then requantizes into the int8 serving
+    tree. Works on unlabeled frames, so `convert --int8` can apply it with
+    nothing but the dataset.
+
+    Args:
+      apply_fn: (params, x) -> output (e.g. `lambda p, x: hrnet_apply(
+        p, cfg, x, compute_dtype=jnp.float32)`); must take params as an
+        ARGUMENT (it is differentiated and re-applied to both trees).
+      folded: BN-folded float tree (the teacher AND the student's init).
+      cfg: model config (unused here beyond documentation; kept so model
+        wrappers share a signature).
+      batches: list of calibration input batches (device-resident).
+      steps: total optimizer steps (cycling over the batches).
+      lr: adam learning rate (small: the student starts at the optimum of
+        the unquantized loss; QAT only nudges weights onto the int8 grid).
+      skip_ids: convs to keep float (default: none beyond uncalibrated).
+      log: optional callable(step, loss) for progress reporting.
+
+    Returns the requantized int8 serving tree.
+    """
+    import optax
+
+    scales = calibrate(lambda x: apply_fn(folded, x), *batches)
+    fq = fake_quant_convs(folded, scales, skip_ids or ())
+
+    def f32_tree(t):
+        return jax.tree.map(
+            lambda a: jax.lax.stop_gradient(a.astype(jnp.float32)), t
+        )
+
+    targets = [f32_tree(apply_fn(folded, b)) for b in batches]
+
+    def loss_fn(p, x, t):
+        # outputs may be a single array or a pytree (e.g. YOLO's three
+        # raw head maps); mean of per-leaf MSEs
+        errs = jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: jnp.mean(jnp.square(a.astype(jnp.float32) - b)),
+                apply_fn(p, x), t,
+            )
+        )
+        return sum(errs) / len(errs)
+
+    optimizer = optax.adam(lr)  # decay-free: see fake_quant_convs
+    opt_state = jax.jit(optimizer.init)(fq)
+
+    @jax.jit
+    def step_fn(p, o, x, t):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, t)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    for i in range(steps):
+        b = i % len(batches)
+        fq, opt_state, loss = step_fn(fq, opt_state, batches[b], targets[b])
+        if log is not None and (i + 1) % max(1, steps // 10) == 0:
+            log(i + 1, float(loss))
+    return requantize_after_qat(fq)
+
+
 def quantized_basic_block(p, x):
     """int8-RESIDENT HRNet basic block (conv1 -> relu -> conv2 -> +skip -> relu).
 

@@ -136,7 +136,8 @@ class Pipeline:
         self._clip_nn_fn = None
         self._clips_nn_fn = None
 
-    def quantize_models(self, sample_images):
+    def quantize_models(self, sample_images, qat_steps=0, qat_lr=1e-5,
+                        qat_batch=8, qat_log=None):
         """Switch both backbones to int8 serving mode (PTQ).
 
         Calibrates activation scales by running the real preprocess ->
@@ -146,17 +147,49 @@ class Pipeline:
         (`tpupose.models.quantize`). Compiled pipeline functions pick up
         the new trees automatically (params are jit arguments).
 
+        `qat_steps > 0` upgrades PTQ to LABEL-FREE quantization-aware
+        fine-tuning (`quantize.distill_qat`): each backbone's fake-quant
+        tree is trained for that many straight-through-estimator steps to
+        match its own float outputs on the calibration inputs (split into
+        `qat_batch`-sized batches), then requantized. Costs a fwd+bwd
+        compile + steps of training per model at convert/startup time;
+        serving speed is identical (the shipped tree is the same int8
+        structure).
+
         Measured on v5e: ~1.25-1.5x per HRNet conv, more on wide YOLO
         layers (docs/PERF.md)."""
-        from tpupose.models.quantize import quantize_hrnet, quantize_yolo
+        from tpupose.models.hrnet import hrnet_apply
+        from tpupose.models.quantize import (
+            distill_qat,
+            hrnet_skip_ids,
+            quantize_hrnet,
+            quantize_yolo,
+            yolo_skip_ids,
+        )
         from tpupose.models.yolov3 import prepare_yolo_images as _prep
+        from tpupose.models.yolov3 import yolov3_apply
+
+        def batched(arr):
+            m = max(1, min(qat_batch, arr.shape[0]))
+            return [arr[i:i + m] for i in range(0, arr.shape[0], m)]
 
         x = jnp.asarray(sample_images)
         n, h, w, _ = x.shape
         # calibrate on the SAME bf16 preprocessing the fused programs run
         xf = x.astype(jnp.bfloat16) / 255.0
         ximg = _prep(self.det_cfg, xf)
-        self.det_params = quantize_yolo(self.det_params, self.det_cfg, ximg)
+        if qat_steps > 0:
+            self.det_params = distill_qat(
+                lambda p, b: yolov3_apply(p, self.det_cfg, b),
+                self.det_params, self.det_cfg, batched(ximg),
+                steps=qat_steps, lr=qat_lr,
+                skip_ids=yolo_skip_ids(self.det_params, self.det_cfg),
+                log=qat_log,
+            )
+        else:
+            self.det_params = quantize_yolo(
+                self.det_params, self.det_cfg, ximg
+            )
         boxes, _, _ = detect_people(self.det_params, self.det_cfg, ximg, (h, w))
         in_h, in_w = self.pose_cfg.input_size
         k = boxes.shape[1]
@@ -167,7 +200,18 @@ class Pipeline:
         crops = normalize_image(
             crops.reshape(n * k, in_h, in_w, 3), value_scale=1.0
         )
-        self.pose_params = quantize_hrnet(self.pose_params, self.pose_cfg, crops)
+        if qat_steps > 0:
+            self.pose_params = distill_qat(
+                lambda p, b: hrnet_apply(p, self.pose_cfg, b),
+                self.pose_params, self.pose_cfg, batched(crops),
+                steps=qat_steps, lr=qat_lr,
+                skip_ids=hrnet_skip_ids(self.pose_params),
+                log=qat_log,
+            )
+        else:
+            self.pose_params = quantize_hrnet(
+                self.pose_params, self.pose_cfg, crops
+            )
 
     # -- staged API (mirrors PersonDetect / PersonPoseDetect /
     #    PersonTrack_Project3DPose) -------------------------------------------

@@ -232,3 +232,33 @@ def test_orbax_roundtrip(tmp_path):
     back = restore_params(path, like=params)
     np.testing.assert_allclose(np.asarray(back["a"]), np.asarray(params["a"]))
     np.testing.assert_allclose(np.asarray(back["b"]["w"]), np.ones(4))
+
+
+def test_bundle_serving_only_fields_do_not_pin(tmp_path):
+    # decode_refine / int8_resident select a serving-time execution mode
+    # without changing the stored weights: a bundle converted under one
+    # value must load under another, while a real topology mismatch
+    # (e.g. width) must still fail loudly.
+    import dataclasses
+
+    import pytest
+
+    from tpupose.cli.convert import load_bundle, write_bundle
+    from tpupose.models.hrnet import HRNetConfig
+    from tpupose.models.yolov3 import YoloConfig
+
+    det_cfg = YoloConfig(max_candidates=4)
+    pose_cfg = HRNetConfig(width=8, decode_refine="quarter")
+    det_params = {"conv0": {"weight": jnp.ones((3, 3, 3, 4))}}
+    pose_params = {"conv1": {"weight": jnp.ones((3, 3, 3, 8))}}
+    out = str(tmp_path / "bundle")
+    write_bundle(out, det_cfg, det_params, pose_cfg, pose_params)
+
+    d, p = load_bundle(
+        out, det_cfg, dataclasses.replace(pose_cfg, decode_refine="parabolic")
+    )
+    np.testing.assert_allclose(
+        np.asarray(p["conv1"]["weight"], np.float32), 1.0
+    )
+    with pytest.raises(ValueError, match="width"):
+        load_bundle(out, det_cfg, dataclasses.replace(pose_cfg, width=16))

@@ -112,3 +112,22 @@ def test_w32_pose_model_reachable_from_yaml(tmp_path):
     variant.write_text(yaml.safe_dump(raw))
     cfg = load_config(str(variant))
     assert hrnet_config_from(cfg) == hrnet_w32_config()
+
+
+def test_decode_refine_reachable_from_yaml(tmp_path):
+    """`DECODE_REFINE: parabolic` in the POSE_MODELS section must select
+    the tie-robust sub-pixel decode in the pipeline's HRNetConfig; absent,
+    the reference-parity quarter shift stays the default."""
+    import yaml
+
+    from tpupose.cli.common import hrnet_config_from
+
+    base = os.path.join(REPO_CONFIGS, "CampusSeq1", "model_configs.yaml")
+    with open(base) as f:
+        raw = yaml.safe_load(f)
+    assert hrnet_config_from(load_config(base)).decode_refine == "quarter"
+    raw["POSE_MODELS"]["HRPOSE"]["DECODE_REFINE"] = "parabolic"
+    variant = tmp_path / "model_configs.yaml"
+    variant.write_text(yaml.safe_dump(raw))
+    cfg = load_config(str(variant))
+    assert hrnet_config_from(cfg).decode_refine == "parabolic"

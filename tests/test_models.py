@@ -170,6 +170,51 @@ def test_decode_heatmaps_peak_and_refinement():
     np.testing.assert_allclose(kp[0, 1, 0], 10 + 2.0 / 12 * 24, atol=1e-5)
 
 
+def test_decode_heatmaps_parabolic_recovers_subpixel_center():
+    # A Gaussian peak at a known SUB-CELL center: the parabolic vertex
+    # refinement must recover it far more tightly than the sign-based
+    # quarter shift, and must be tie-robust (a perfectly centered peak
+    # has near-equal neighbors; the vertex stays ~0 where the quarter
+    # shift flips ±0.25 on any epsilon perturbation).
+    hh, wh = 24, 18
+    yy, xx = np.mgrid[0:hh, 0:wh].astype(np.float32)
+    boxes = jnp.array([[0.0, 0.0, float(wh), float(hh)]])  # 1 cell = 1 px
+
+    def gauss(cy, cx, sigma=1.75):
+        return np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+
+    centers = [(8.3, 5.7), (12.0, 9.0), (15.82, 3.26)]
+    heat = np.stack([gauss(cy, cx) for cy, cx in centers], axis=-1)[None]
+    kq = np.asarray(decode_heatmaps(jnp.asarray(heat), boxes))
+    kp = np.asarray(
+        decode_heatmaps(jnp.asarray(heat), boxes, refine="parabolic")
+    )
+    truth = np.array([[cx + 0.5, cy + 0.5] for cy, cx in centers])
+    # decode maps cell i to (i+?)/size*box: cell centers sit at i/size —
+    # compare in cell units against the continuous center
+    err_par = np.linalg.norm(kp[0, :, :2] - np.array(
+        [[cx, cy] for cy, cx in centers]), axis=-1)
+    err_qtr = np.linalg.norm(kq[0, :, :2] - np.array(
+        [[cx, cy] for cy, cx in centers]), axis=-1)
+    assert err_par.max() < 0.15, (err_par, truth)
+    assert err_par.mean() <= err_qtr.mean() + 1e-6, (err_par, err_qtr)
+
+    # tie robustness: perturb the centered peak by one bf16-scale epsilon;
+    # quarter flips a half-cell (0.25 - (-0.25)), parabolic moves ~epsilon
+    base = gauss(12.0, 9.0)[None, :, :, None]
+    eps = np.zeros_like(base)
+    eps[0, 12, 10, 0] = 4e-3
+    d_par, d_qtr = [], []
+    for sgn in (+1.0, -1.0):
+        h = jnp.asarray(base + sgn * eps)
+        d_par.append(
+            float(decode_heatmaps(h, boxes, refine="parabolic")[0, 0, 0])
+        )
+        d_qtr.append(float(decode_heatmaps(h, boxes)[0, 0, 0]))
+    assert abs(d_par[0] - d_par[1]) < 0.02
+    assert abs(d_qtr[0] - d_qtr[1]) == 0.5  # the documented tie flip
+
+
 def test_expand_box_to_aspect():
     boxes = jnp.array([[0.0, 0.0, 30.0, 20.0]])  # too wide for 4/3
     out = np.asarray(expand_box_to_aspect(boxes, 4 / 3))[0]

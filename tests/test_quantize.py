@@ -593,9 +593,9 @@ def test_qat_fake_quant_matches_int8_serving_path():
 
 def test_qat_steps_reduce_fake_quant_loss():
     # a few STE steps on the fake-quant tree must reduce the quantized
-    # forward's loss (the whole point of QAT), leave fq_x_scale leaves
-    # untouched (zero STE gradient + decay-free adam), and keep the tree
-    # requantizable.
+    # forward's loss (the whole point of QAT), TRAIN the fq_x_scale
+    # leaves (LSQ: the activation scale receives the rounding-residual /
+    # clip gradient — see _lsq_qdq), and keep the tree requantizable.
     import optax
 
     from tpupose.models.quantize import (
@@ -633,7 +633,7 @@ def test_qat_steps_reduce_fake_quant_loss():
     for _ in range(8):
         fq, opt_state, loss = step(fq, opt_state, imgs, targets, weights)
     assert float(loss) < loss0, (float(loss), loss0)
-    assert float(fq["layer1"]["0"]["conv1"]["fq_x_scale"]) == s_before
+    assert float(fq["layer1"]["0"]["conv1"]["fq_x_scale"]) != s_before
     q = requantize_after_qat(fq)
     out = hrnet_apply(q, cfg, imgs)
     assert np.all(np.isfinite(np.asarray(out, np.float32)))

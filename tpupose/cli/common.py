@@ -85,6 +85,7 @@ def hrnet_config_from(cfg: Config):
         layer1_planes=p.layer1_planes,
         stage_modules=tuple(p.stage_modules),
         stage_blocks=p.stage_blocks,
+        decode_refine=p.decode_refine,
     )
 
 

@@ -24,6 +24,12 @@ import os
 BUNDLE_MANIFEST = "bundle.json"
 BUNDLE_FORMAT = 1
 
+#: Config fields that select a serving-time execution mode without
+#: changing the stored weights: a bundle converted under one value loads
+#: fine under another, so they are excluded from the manifest match.
+#: (`pack_branch0` is NOT here — packing transforms the tree itself.)
+SERVING_ONLY_FIELDS = frozenset({"decode_refine", "int8_resident"})
+
 
 def _config_record(cfg) -> dict:
     """JSON-normalized dataclass fields (tuples -> lists, recursively)."""
@@ -70,8 +76,10 @@ def load_bundle(bundle_dir, det_cfg, pose_cfg):
             f"(expected {BUNDLE_FORMAT})"
         )
     for name, cfg in (("det_config", det_cfg), ("pose_config", pose_cfg)):
-        want = _config_record(cfg)
-        got = manifest.get(name)
+        want = {k: v for k, v in _config_record(cfg).items()
+                if k not in SERVING_ONLY_FIELDS}
+        got = {k: v for k, v in (manifest.get(name) or {}).items()
+               if k not in SERVING_ONLY_FIELDS}
         if got != want:
             diff = {
                 k: (got.get(k), want.get(k))

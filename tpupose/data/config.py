@@ -61,6 +61,10 @@ class PoseModelConfig:
     layer1_planes: int = 64
     stage_modules: tuple = (1, 4, 3)
     stage_blocks: int = 4
+    #: sub-pixel decode: "quarter" (official HRNet shift, reference
+    #: parity) or "parabolic" (tie-robust vertex fit; recommended with
+    #: int8 serving — tpupose.ops.heatmap.decode_heatmaps)
+    decode_refine: str = "quarter"
 
 
 @dataclasses.dataclass
@@ -190,6 +194,7 @@ def load_config(path: str) -> Config:
         layer1_planes=int(pm.get("LAYER1_PLANES", 64)),
         stage_modules=tuple(pm.get("STAGE_MODULES", (1, 4, 3))),
         stage_blocks=int(pm.get("STAGE_BLOCKS", 4)),
+        decode_refine=str(pm.get("DECODE_REFINE", "quarter")),
     )
 
     # Tolerate the shipped Panoptic YAML's PERSON_M typo (SURVEY.md §2.3).

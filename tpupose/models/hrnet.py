@@ -48,6 +48,14 @@ class HRNetConfig:
     #: output-fuses the generic dequant->relu->requant chain in
     #: straight-line model code — so default off (docs/PERF.md r3).
     int8_resident: bool = False
+    #: Sub-pixel decode refinement: "quarter" = official HRNet
+    #: quarter-offset toward the stronger neighbor (reference parity;
+    #: default). "parabolic" = 3-point parabola vertex — continuous in the
+    #: heatmap values, so near-tie neighbors at a centered peak cannot
+    #: flip it half a cell; the recommended mode for int8 serving, where
+    #: the tie flips dominate the int8-vs-bf16 keypoint shift
+    #: (docs/PERF.md r3, scripts/int8_w48_agreement.py).
+    decode_refine: str = "quarter"
 
     @property
     def branch_channels(self):

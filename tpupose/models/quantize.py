@@ -277,21 +277,39 @@ def _ste_qdq(t, s):
     return t + jax.lax.stop_gradient(q - t)
 
 
+def _lsq_qdq(t, s):
+    """Quantize-dequantize with LSQ gradients (Esser et al., "Learned Step
+    Size Quantization"): only the ROUND is straight-through; the clip and
+    the rescale are left to autodiff, which yields exactly the LSQ
+    gradients — d/dt = 1 inside the clip range, 0 outside; d/ds =
+    round(t/s) - t/s inside (the rounding residual), ±127 outside (pull
+    the range toward/away from the clipped mass). Used for ACTIVATION
+    fake-quant so the per-conv scale leaf (`fq_x_scale`) is trainable;
+    weights keep plain STE (their scale is re-derived from the live
+    weights each step). Forward value is identical to `_ste_qdq`."""
+    s = jnp.maximum(s, 1e-12)
+    inv = t / s
+    r = inv + jax.lax.stop_gradient(jnp.round(inv) - inv)
+    return jnp.clip(r, -127, 127) * s
+
+
 def fake_quant_convs(params, act_scales, skip_ids=()):
     """Fake-quantized (QAT) view of a BN-FOLDED tree.
 
-    Each calibrated conv dict gains an `fq_x_scale` leaf (the calibrated
-    per-tensor input scale); `conv_apply` then simulates int8 serving with
+    Each calibrated conv dict gains an `fq_x_scale` leaf (initialized at
+    the calibrated per-tensor input scale and TRAINED with LSQ gradients
+    — see `_lsq_qdq`); `conv_apply` then simulates int8 serving with
     straight-through gradients, so the tree can be fine-tuned by the
-    ordinary `make_train_step` — the model learns weights that survive
-    the int8 grid. Weight scales are re-derived from the live weights
-    each step (per-output-channel absmax, gradient-stopped), exactly the
-    formula `quantize_convs` applies afterwards, so
-    `requantize_after_qat` reproduces the trained forward (up to int32-
-    vs-f32 accumulation rounding).
+    ordinary `make_train_step` — the model learns weights AND activation
+    ranges that survive the int8 grid. Weight scales are re-derived from
+    the live weights each step (per-output-channel absmax,
+    gradient-stopped), exactly the formula `quantize_convs` applies
+    afterwards, so `requantize_after_qat` reproduces the trained forward
+    (up to int32-vs-f32 accumulation rounding).
 
     Fine-tune with a decay-free optimizer (e.g. `optax.adam`): AdamW's
-    weight decay would shrink the frozen `fq_x_scale` leaves.
+    weight decay would shrink the `fq_x_scale` leaves toward 0
+    independently of their LSQ gradient.
     """
     skip = set(skip_ids)
 
@@ -328,7 +346,7 @@ def fake_quant_conv_apply(p, x, stride=1, padding="TORCH", dilation=1):
         1e-12,
     )
     wq = _ste_qdq(w, ws)
-    xq = _ste_qdq(x.astype(jnp.float32), p["fq_x_scale"])
+    xq = _lsq_qdq(x.astype(jnp.float32), p["fq_x_scale"])
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
     if padding == "TORCH":

@@ -19,7 +19,15 @@ def decode_heatmaps(heat, boxes, refine=True):
       heat: (N, Hh, Wh, J) heatmaps.
       boxes: (N, 4) crop boxes (x0, y0, x1, y1) in image coordinates — the
         region each heatmap corresponds to.
-      refine: quarter-offset sub-pixel refinement.
+      refine: sub-pixel refinement mode. True / "quarter" = the official
+        HRNet quarter-offset toward the stronger neighbor (reference
+        parity; default). "parabolic" = 3-point parabola vertex per axis,
+        clipped to ±0.5 cell — CONTINUOUS in the heatmap values, so a
+        near-tie between the two neighbors (the by-construction state at
+        a centered Gaussian peak) cannot flip the refinement by half a
+        cell the way the sign-based quarter shift does; measurably more
+        accurate on peaky heatmaps and the recommended mode for int8
+        serving (docs/PERF.md). False = raw argmax.
 
     Returns:
       (N, J, 3) keypoints (x_img, y_img, score).
@@ -66,8 +74,22 @@ def decode_heatmaps(heat, boxes, refine=True):
         in_x = (xi >= 1) & (xi < wh - 1)
         in_y = (yi >= 1) & (yi < hh - 1)
         interior = in_x & in_y
-        px = px + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
-        py = py + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)
+        if refine == "parabolic":
+            # vertex of the parabola through (L, C, R): (R-L)/(2(2C-R-L));
+            # the denominator is >= 0 at an argmax, the eps guard covers
+            # exact plateaus, the clip covers degenerate near-flat fits.
+            # f32: the vertex divides differences of near-equal values,
+            # where bf16 cancellation would dominate the offset.
+            c = score.astype(jnp.float32)
+            r_, l_ = right.astype(jnp.float32), left.astype(jnp.float32)
+            u_, d_ = up.astype(jnp.float32), down.astype(jnp.float32)
+            dx = (r_ - l_) / (2.0 * jnp.maximum(2.0 * c - r_ - l_, 1e-6))
+            dy = (u_ - d_) / (2.0 * jnp.maximum(2.0 * c - u_ - d_, 1e-6))
+            px = px + jnp.where(interior, jnp.clip(dx, -0.5, 0.5), 0.0)
+            py = py + jnp.where(interior, jnp.clip(dy, -0.5, 0.5), 0.0)
+        else:
+            px = px + jnp.where(interior, 0.25 * jnp.sign(right - left), 0.0)
+            py = py + jnp.where(interior, 0.25 * jnp.sign(up - down), 0.0)
 
     x0, y0 = boxes[:, 0:1], boxes[:, 1:2]
     bw = boxes[:, 2:3] - boxes[:, 0:1]
@@ -90,6 +112,11 @@ def decode_heatmaps_auto(heat, boxes, refine=True, force_pallas=False):
     stays the default; the Pallas kernel remains available (force_pallas)
     as the substrate for a future fully-fused pose head."""
     if force_pallas:
+        if refine == "parabolic":
+            raise ValueError(
+                "the Pallas decode implements only the quarter-offset "
+                "refinement; use the XLA decode for refine='parabolic'"
+            )
         from tpupose.ops.pallas_heatmap import decode_heatmaps_pallas
 
         return decode_heatmaps_pallas(heat, boxes, refine=refine)

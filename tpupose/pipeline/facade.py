@@ -64,7 +64,7 @@ def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
         crops.reshape(n * k, in_h, in_w, 3), value_scale=1.0
     )
     heat = hrnet_apply(pose_params, pose_cfg, crops)
-    kps = decode_heatmaps_auto(heat, eboxes)
+    kps = decode_heatmaps_auto(heat, eboxes, refine=pose_cfg.decode_refine)
     kps = kps.reshape(n, k, pose_cfg.num_joints, 3)
     d = tcfg.max_dets
     if k >= d:
@@ -257,7 +257,9 @@ class Pipeline:
                     crops.reshape(c * k, in_h, in_w, 3), value_scale=1.0
                 )
                 heat = hrnet_apply(params, pose_cfg, crops)
-                kps = decode_heatmaps_auto(heat, eboxes)
+                kps = decode_heatmaps_auto(
+                    heat, eboxes, refine=pose_cfg.decode_refine
+                )
                 return kps.reshape(c, k, pose_cfg.num_joints, 3)
 
             self._pose_fn = fn
@@ -309,7 +311,9 @@ class Pipeline:
                     crops.reshape(c * k, in_h, in_w, 3), value_scale=1.0
                 )
                 heat = hrnet_apply(pose_params, pose_cfg, crops)
-                kps = decode_heatmaps_auto(heat, eboxes.reshape(-1, 4))
+                kps = decode_heatmaps_auto(
+                    heat, eboxes.reshape(-1, 4), refine=pose_cfg.decode_refine
+                )
                 kps = kps.reshape(c, k, pose_cfg.num_joints, 3)
                 # pad/trim detections to the tracker's MAX_DETS
                 d = tcfg.max_dets

@@ -219,6 +219,28 @@ def test_yolov3_weights_payload_size():
     assert 12 + 8 + 4 * total == YOLOV3_WEIGHTS_BYTES  # v0.2 header is 20 B
 
 
+@pytest.mark.skipif(
+    os.environ.get("TPUPOSE_FULLSIZE") != "1",
+    reason="full-size dress rehearsal (~500 MB of fabricated artifacts, "
+           "minutes of CPU); opt in with TPUPOSE_FULLSIZE=1",
+)
+def test_fullsize_dress_rehearsal(tmp_path):
+    """REAL-format, REAL-size ingestion end-to-end: torch-zipfile .pth with
+    the official 1754 keys + byte-exact 248,007,048-byte yolov3.weights
+    through the convert CLI into a bundle, reloaded torch-free with numeric
+    spot checks (scripts/fullsize_dress_rehearsal.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fullsize_dress_rehearsal",
+        os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                     "fullsize_dress_rehearsal.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.run(str(tmp_path), forward=False, keep=False)
+
+
 def test_yolov3_head_conv_shapes():
     """The three detection convs must be 255-channel 1x1 (3*(5+80)) fed by
     1024/512/256 — the real file's layout at those offsets."""

@@ -24,6 +24,48 @@ def test_native_lap_matches_scipy(shape):
         assert abs(got - ref) < 1e-4 * max(1.0, abs(ref))
 
 
+def _write_jpegs(tmp_path, spec):
+    """spec: list over frames of lists of per-view (h, w) or 'corrupt' or
+    'missing'. Returns frame_paths."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for t, views in enumerate(spec):
+        row = []
+        for v, kind in enumerate(views):
+            p = tmp_path / f"f{t}_v{v}.jpg"
+            if kind == "corrupt":
+                p.write_bytes(b"\xff\xd8not a real jpeg payload")
+            elif kind == "missing":
+                pass  # never created
+            else:
+                h, w = kind
+                img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+                Image.fromarray(img).save(p, quality=90)
+            row.append(str(p))
+        paths.append(row)
+    return paths
+
+
+@pytest.mark.parametrize("bad", ["corrupt", "missing", (32, 48)])
+def test_frame_loader_bad_frame_fails_loudly(tmp_path, bad):
+    """A corrupt view, a missing view, or a view whose dimensions differ
+    from its siblings must raise (naming the frame), never emit garbage
+    pixels or deadlock the prefetch threads; good frames before the bad
+    one still stream, and close() returns promptly afterwards."""
+    ok = (48, 64)
+    paths = _write_jpegs(
+        tmp_path, [[ok, ok], [ok, bad], [ok, ok]]
+    )
+    loader = native.FrameLoader(paths, prefetch=3, threads=2)
+    first = next(loader)
+    assert first.shape == (2, 48, 64, 3)
+    with pytest.raises(RuntimeError, match="frame 1"):
+        next(loader)
+    loader.close()  # must not hang with workers mid-stream
+
+
 def test_frame_loader_roundtrip(tmp_path):
     from PIL import Image
 

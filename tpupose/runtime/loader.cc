@@ -108,11 +108,19 @@ struct Loader {
         std::vector<uint8_t> img;
         int w = 0, h = 0;
         if (!decode_jpeg(path, &img, &w, &h)) {
+          fr.ok = false;  // missing or corrupt file
+          break;
+        }
+        if (fr.data.empty()) {
+          fr.width = w;
+          fr.height = h;
+        } else if (w != fr.width || h != fr.height) {
+          // Views of one frame must share dimensions: the consumer reshapes
+          // the concatenated buffer as (views, h, w, 3); a silent mismatch
+          // would misalign every later view's pixels.
           fr.ok = false;
           break;
         }
-        fr.width = w;
-        fr.height = h;
         fr.data.insert(fr.data.end(), img.begin(), img.end());
       }
       std::unique_lock<std::mutex> lock(mu);

@@ -32,8 +32,10 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO):
-            _build()
+        # Always invoke make: it is a timestamp no-op when the .so is
+        # current, and it rebuilds when the C++ sources changed (loading a
+        # stale library after a source edit would be a silent version skew).
+        _build()
         lib = ctypes.CDLL(_SO)
         lib.tpupose_solve_lap.restype = ctypes.c_int
         lib.tpupose_solve_lap.argtypes = [
@@ -119,6 +121,8 @@ class FrameLoader:
             arr, len(frame_paths), self.num_views, prefetch, threads
         )
         self._buf = None
+        self._paths = frame_paths
+        self._index = 0  # next frame to hand out (for error reporting)
 
     def __iter__(self):
         return self
@@ -139,7 +143,14 @@ class FrameLoader:
         if rc == 0:
             raise StopIteration
         if rc < 0:
-            raise RuntimeError("frame decode failed")
+            idx = self._index
+            self._index += 1  # the C++ side already consumed the slot
+            raise RuntimeError(
+                f"frame {idx} decode failed (missing/corrupt file or "
+                f"mismatched view dimensions) among views: "
+                f"{self._paths[idx]}"
+            )
+        self._index += 1
         n = self.num_views * h.value * w.value * 3
         return (
             self._buf[:n]

@@ -274,6 +274,13 @@ def main():
             emit(fps, "bf16")
         del clips  # release the 3rd staged batch before the multistream leg
 
+    # The auxiliary legs below compile FRESH programs whose stage A batches
+    # more images per step than the facade scan (multistream: S*F*C in one
+    # batch) — their compile workspace does not fit next to the two 8-clip
+    # staged batches (~7 GB HBM; measured RESOURCE_EXHAUSTED on v5e 16 GB).
+    # Free the big batches and stage right-sized inputs per leg instead.
+    del clips2, clips_warm
+
     # Multistream leg: the SHARDED program (stage A = the same
     # _clip_detections, stage B = vmapped tracker scan) timed on this one
     # chip — the per-chip number the v5e-8 ~8x extrapolation needs
@@ -287,6 +294,16 @@ def main():
             from tpupose.parallel.throughput import make_multistream_clip_fn
 
             S = 2
+            gen_clips_s = jax.jit(
+                lambda seed: jax.random.randint(
+                    jax.random.PRNGKey(seed),
+                    (S, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
+                )
+            )
+            ms_warm = gen_clips_s(jnp.uint32(3))
+            ms_batch = gen_clips_s(jnp.uint32(4))
+            float(jnp.sum(ms_warm[0, 0, 0, 0, 0]))
+            float(jnp.sum(ms_batch[0, 0, 0, 0, 0]))
             ms_fn = make_multistream_clip_fn(det_cfg, pose_cfg, tcfg)
             cams_s = broadcast_cameras(adv_cams, S)
 
@@ -299,7 +316,7 @@ def main():
                 states_s = init_multistream_state(tcfg, S)  # donated
                 start = time.perf_counter()
                 new_states, outs_ms = ms_fn(
-                    dp, pp, cams_s, states_s, batch[:S], fids_s,
+                    dp, pp, cams_s, states_s, batch, fids_s,
                 )
                 float(jnp.sum(outs_ms.pose3d))
                 return S * F / (time.perf_counter() - start)
@@ -324,8 +341,8 @@ def main():
                     pose_params,
                     uncalibrated_scales(pose_params, hrnet_skip_ids(pose_params)),
                 )
-                ms_run(q_det, q_pose, clips_warm, 45 * n_clips * F)  # compile
-                fps_ms_q = ms_run(q_det, q_pose, clips2, 55 * n_clips * F)
+                ms_run(q_det, q_pose, ms_warm, 45 * n_clips * F)  # compile
+                fps_ms_q = ms_run(q_det, q_pose, ms_batch, 55 * n_clips * F)
                 print(
                     f"multistream (S={S}, shared stage A): {fps_ms_q:.1f} "
                     f"fps/chip int8 — per-chip parity basis for the v5e-8 "
@@ -337,14 +354,15 @@ def main():
                 print(f"multistream int8 leg failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
 
-            ms_run(det_params, pose_params, clips_warm, 40 * n_clips * F)
-            fps_ms = ms_run(det_params, pose_params, clips2, 50 * n_clips * F)
+            ms_run(det_params, pose_params, ms_warm, 40 * n_clips * F)
+            fps_ms = ms_run(det_params, pose_params, ms_batch, 50 * n_clips * F)
             print(
                 f"multistream (S={S}, shared stage A): {fps_ms:.1f} "
                 f"fps/chip bf16 — facade-parity check for the bf16 "
                 f"diagnostic",
                 file=sys.stderr,
             )
+            del ms_warm, ms_batch
         except Exception as e:
             print(f"multistream leg failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -386,20 +404,36 @@ def main():
                 ),
             )
 
+            # Right-sized staged batches (4 clips): the W32 programs compile
+            # while the W48 executables are still resident; half-size input
+            # staging keeps HBM headroom (see the del above).
+            n32 = n_clips // 2
+            gen_clips_32 = jax.jit(
+                lambda seed: jax.random.randint(
+                    jax.random.PRNGKey(seed),
+                    (n32, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
+                )
+            )
+            w32_warm = gen_clips_32(jnp.uint32(5))
+            w32_batch = gen_clips_32(jnp.uint32(6))
+            float(jnp.sum(w32_warm[0, 0, 0, 0, 0]))
+            float(jnp.sum(w32_batch[0, 0, 0, 0, 0]))
+
             def w32_run(batch, fid_offset):
-                fids = jax.device_put(np.arange(n_clips * F, dtype=np.int32)
+                fids = jax.device_put(np.arange(n32 * F, dtype=np.int32)
                                       + fid_offset)
                 float(jnp.sum(fids))
                 start = time.perf_counter()
                 d_c, m_c = pipe32.process_clips_nn(batch)
                 st_c, outs_c = track_all_fn(
-                    init_state(tcfg), dets_all, mask_all, fids
+                    init_state(tcfg), dets_all[: n32 * F], mask_all[: n32 * F],
+                    fids,
                 )
                 float(jnp.sum(outs_c.pose3d) + jnp.sum(d_c))
-                return n_clips * F / (time.perf_counter() - start)
+                return n32 * F / (time.perf_counter() - start)
 
-            w32_run(clips_warm, 60 * n_clips * F)  # compile + warm
-            fps_32 = w32_run(clips2, 70 * n_clips * F)
+            w32_run(w32_warm, 60 * n_clips * F)  # compile + warm
+            fps_32 = w32_run(w32_batch, 70 * n_clips * F)
             print(
                 f"W32@256x192 int8 serving: {fps_32:.1f} fps/chip "
                 f"(vs target {fps_32 / per_chip_target:.2f}x) — the "

@@ -293,11 +293,15 @@ def main():
             )
             from tpupose.parallel.throughput import make_multistream_clip_fn
 
-            S = 2
+            # S=2 streams x F_MS=128 frames = 256 frames per dispatch —
+            # the same dispatch amortization as the facade's 8-clip scan;
+            # stage A auto-chunks to 16-frame chunks (160 images/step, the
+            # facade's benched batch shape).
+            S, F_MS = 2, 4 * F
             gen_clips_s = jax.jit(
                 lambda seed: jax.random.randint(
                     jax.random.PRNGKey(seed),
-                    (S, F, VIEWS, H, W, 3), 0, 255, jnp.uint8,
+                    (S, F_MS, VIEWS, H, W, 3), 0, 255, jnp.uint8,
                 )
             )
             ms_warm = gen_clips_s(jnp.uint32(3))
@@ -309,7 +313,7 @@ def main():
 
             def ms_run(dp, pp, batch, fid_offset):
                 fids_s = jax.device_put(
-                    np.arange(S * F, dtype=np.int32).reshape(S, F)
+                    np.arange(S * F_MS, dtype=np.int32).reshape(S, F_MS)
                     + fid_offset
                 )
                 float(jnp.sum(fids_s))
@@ -319,7 +323,7 @@ def main():
                     dp, pp, cams_s, states_s, batch, fids_s,
                 )
                 float(jnp.sum(outs_ms.pose3d))
-                return S * F / (time.perf_counter() - start)
+                return S * F_MS / (time.perf_counter() - start)
 
             # int8 first: the headline is int8, so the per-chip parity
             # basis for the v5e-8 extrapolation must be int8 too.

@@ -48,6 +48,62 @@ def test_multistream_clip_pipeline_runs_sharded():
     assert np.isfinite(np.asarray(new_states.hist_pose)).all()
 
 
+def test_multistream_chunked_stage_a_matches_unchunked():
+    """Stage-A frame-chunking (the HBM/bench shape at big F) is numerically
+    exact — every stage-A op is per-image — and keeps stream sharding."""
+    S, F, C, H, W = 4, 4, 3, 96, 128
+    scene = make_scene(num_frames=1, num_cameras=C, num_actors=2, seed=3)
+    rig = make_camera_set(scene.P, scene.K, scene.RT, W, H)
+    det_cfg = tiny_yolo_test_config()
+    pose_cfg = tiny_test_config()
+    tcfg = TrackerConfig(num_cameras=C, max_dets=8, max_tracks=8, max_hyp=16)
+    det_params = yolov3_init(jax.random.PRNGKey(0), det_cfg)
+    pose_params = hrnet_init(jax.random.PRNGKey(1), pose_cfg)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+
+    cams_s = shard_streams(mesh, broadcast_cameras(rig, S))
+    rng = np.random.default_rng(7)
+    clip = shard_streams(
+        mesh,
+        jnp.asarray(rng.integers(0, 255, size=(S, F, C, H, W, 3), dtype=np.uint8)),
+    )
+    fids = shard_streams(
+        mesh, jnp.tile(jnp.arange(F, dtype=jnp.int32)[None], (S, 1))
+    )
+
+    fn_whole = make_multistream_clip_fn(det_cfg, pose_cfg, tcfg, chunk_frames=F)
+    fn_chunk = make_multistream_clip_fn(det_cfg, pose_cfg, tcfg, chunk_frames=2)
+    st_w, out_w = fn_whole(
+        det_params, pose_params, cams_s,
+        shard_streams(mesh, init_multistream_state(tcfg, S)), clip, fids,
+    )
+    st_c, out_c = fn_chunk(
+        det_params, pose_params, cams_s,
+        shard_streams(mesh, init_multistream_state(tcfg, S)), clip, fids,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_w.track_id), np.asarray(out_c.track_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_w.pose3d), np.asarray(out_c.pose3d), atol=1e-5
+    )
+    # stream sharding survives the chunked scan
+    for leaf in jax.tree.leaves(st_c) + jax.tree.leaves(out_c):
+        spec = leaf.sharding.spec
+        assert len(spec) >= 1 and spec[0] == "data", f"bad sharding {spec}"
+
+
+def test_auto_chunk_sizes():
+    from tpupose.parallel.throughput import _auto_chunk
+
+    # bench shape: S=2, C=5 -> 16 frames/chunk = 160 images/step
+    assert _auto_chunk(2, 128, 5) == 16
+    # must divide F
+    assert 48 % _auto_chunk(2, 48, 5) == 0
+    # tiny shapes degrade to >= 1
+    assert _auto_chunk(4, 2, 3) >= 1
+
+
 def test_train_step_reduces_loss():
     cfg = tiny_test_config()
     params = hrnet_init(jax.random.PRNGKey(0), cfg)

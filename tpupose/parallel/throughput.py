@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from tpupose.models.hrnet import HRNetConfig
 from tpupose.models.yolov3 import YoloConfig
@@ -26,13 +27,33 @@ from tpupose.pipeline.facade import _clip_detections
 from tpupose.tracking.tracker import TrackerConfig, tracker_step
 
 
+def _auto_chunk(s: int, f: int, c: int, target_images: int = 160) -> int:
+    """Frames per stage-A chunk so each scan step batches ~`target_images`
+    images — the batch size the facade's benched clip program runs
+    (F=32 x C=5). Must divide F; falls back to no chunking otherwise."""
+    cf = max(1, round(target_images / (s * c)))
+    while cf > 1 and f % cf:
+        cf -= 1
+    return cf
+
+
 def make_multistream_clip_fn(det_cfg: YoloConfig, pose_cfg: HRNetConfig,
-                             tcfg: TrackerConfig, image_hw=None):
+                             tcfg: TrackerConfig, image_hw=None,
+                             chunk_frames=None):
     """Build the jitted multi-stream clip function.
 
     Returns fn(det_params, pose_params, cams_s, states_s, clip, frame_ids)
     where cams_s / states_s have a leading stream axis, clip is
     (S, F, C, H, W, 3) uint8 and frame_ids is (S, F).
+
+    Stage A scans `_clip_detections` over frame-chunks of `chunk_frames`
+    frames (auto-sized to ~160 images per step when None) instead of one
+    S*F*C mega-batch: the scan keeps the live intermediate footprint at
+    one chunk (long dispatches at big F fit HBM) and makes the compute
+    program per step structurally identical to the facade's benched
+    `process_clips_nn` scan. Chunking is numerically exact — every stage-A
+    op is per-image. The stream axis stays the leading axis of every
+    chunk, so 'data' sharding propagates through reshape/scan unchanged.
 
     `image_hw` is accepted for backward compatibility and ignored: the
     image geometry comes from the clip shape, exactly as in the facade.
@@ -42,13 +63,39 @@ def make_multistream_clip_fn(det_cfg: YoloConfig, pose_cfg: HRNetConfig,
     @partial(jax.jit, donate_argnums=(3,))
     def fn(det_params, pose_params, cams_s, states_s, clip, frame_ids):
         s, f, c, h, w, _ = clip.shape
-        dets, mask = _clip_detections(
-            det_cfg, pose_cfg, tcfg, det_params, pose_params,
-            clip.reshape(s * f * c, h, w, 3),
-        )
-        d = dets.shape[1]
-        dets = dets.reshape(s, f, c, d, tcfg.num_joints, 3)
-        mask = mask.reshape(s, f, c, d)
+        cf = chunk_frames if chunk_frames is not None else _auto_chunk(s, f, c)
+        if f % cf:
+            cf = f
+        n_sub = f // cf
+        d = tcfg.max_dets
+        if n_sub > 1:
+            # (S, F, ...) -> (n_sub, S, cf, ...): scan over chunks; S stays
+            # the leading axis inside each chunk for sharding propagation.
+            chunks = clip.reshape(s, n_sub, cf, c, h, w, 3)
+            chunks = jnp.moveaxis(chunks, 1, 0)
+
+            def det_body(carry, ch):
+                dd, mm = _clip_detections(
+                    det_cfg, pose_cfg, tcfg, det_params, pose_params,
+                    ch.reshape(s * cf * c, h, w, 3),
+                )
+                return carry, (
+                    dd.reshape(s, cf, c, d, tcfg.num_joints, 3),
+                    mm.reshape(s, cf, c, d),
+                )
+
+            _, (dets, mask) = jax.lax.scan(det_body, 0, chunks)
+            dets = jnp.moveaxis(dets, 1, 0).reshape(
+                s, f, c, d, tcfg.num_joints, 3
+            )
+            mask = jnp.moveaxis(mask, 1, 0).reshape(s, f, c, d)
+        else:
+            dets, mask = _clip_detections(
+                det_cfg, pose_cfg, tcfg, det_params, pose_params,
+                clip.reshape(s * f * c, h, w, 3),
+            )
+            dets = dets.reshape(s, f, c, d, tcfg.num_joints, 3)
+            mask = mask.reshape(s, f, c, d)
 
         def one_stream(cams, state, dets_s, mask_s, fids_s):
             def body(st, xs):

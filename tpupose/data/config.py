@@ -92,6 +92,13 @@ class MatcherConfig:
     # default (the shipped behaviour) and expose it as the YAML key
     # JOINT_GATE so the Campus variant is expressible.
     joint_gate: int = 10
+    # Track resurrection (new — the reference mints a fresh id whenever a
+    # person re-emerges after max_age frames of occlusion). YAML keys
+    # RESURRECT_WINDOW (frames, 0 = off = reference parity), RESURRECT_DIST
+    # (meters) and RESURRECT_SPEED (meters/frame motion budget).
+    resurrect_window: int = 0
+    resurrect_dist: float = 0.3
+    resurrect_speed: float = 0.06
 
 
 @dataclasses.dataclass
@@ -218,6 +225,9 @@ def load_config(path: str) -> Config:
         sigma=float(mm.get("SIGMA", 0.6)),
         arm_sigma=float(mm.get("ARM_SIGMA", 0.8)),
         joint_gate=int(mm.get("JOINT_GATE", 10)),
+        resurrect_window=int(mm.get("RESURRECT_WINDOW", 0)),
+        resurrect_dist=float(mm.get("RESURRECT_DIST", 0.3)),
+        resurrect_speed=float(mm.get("RESURRECT_SPEED", 0.06)),
     )
 
     return Config(
@@ -254,6 +264,9 @@ def tracker_config_from(cfg: Config, num_cameras: int, **overrides):
         sigma=m.sigma,
         arm_sigma=m.arm_sigma,
         joint_gate=m.joint_gate,
+        resurrect_window=m.resurrect_window,
+        resurrect_dist=m.resurrect_dist,
+        resurrect_speed=m.resurrect_speed,
     )
     kw.update(overrides)
     return TrackerConfig(**kw)

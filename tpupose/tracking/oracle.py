@@ -68,6 +68,16 @@ class TrackerParams:
     #: (`IterativeTracker.py:317`).
     update_window: int = 3
     arm_joints: tuple = (9, 10)
+    #: Track resurrection (new, no reference counterpart): when > 0, a new
+    #: hypothesis spawning near a recently-deleted confirmed track's last
+    #: pose reuses that track's id + confirmed status, for up to
+    #: `resurrect_window` frames after the deletion. The gate is mean joint
+    #: distance < resurrect_dist + resurrect_speed * (frames since the
+    #: track's last update) — a motion budget for the occluded person.
+    #: 0 = off.
+    resurrect_window: int = 0
+    resurrect_dist: float = 0.3
+    resurrect_speed: float = 0.06
 
 
 def believe(pose):
@@ -337,6 +347,9 @@ class OracleTracker:
         self.tracks: list[OracleTrack] = []
         self.next_id = 0
         self.unmatched: dict[int, np.ndarray] = {}
+        # Recently-deleted confirmed tracks eligible for resurrection:
+        # dicts of id / pose / vel / time (last-update frame) / del (frame).
+        self.graveyard: list[dict] = []
 
     @staticmethod
     def make_cameras(P, F, rk_inv, center) -> _Cameras:
@@ -388,6 +401,19 @@ class OracleTracker:
         for tr in self.tracks:
             tr.update(frame_id, self.cams)
 
+        if p.resurrect_window > 0:
+            for tr in self.tracks:
+                # hits >= n_init <=> the track was CONFIRMED before deletion
+                # (promotion happens the moment hits reaches n_init).
+                if tr.state == DELETED and tr.hits >= p.n_init:
+                    t2d, pose = tr.history[-1]
+                    self.graveyard.append({
+                        "id": tr.track_id,
+                        "pose": np.array(pose),
+                        "time": t2d,
+                        "del": frame_id,
+                    })
+
         self._init_targets(frame_id)
         self.tracks = [t for t in self.tracks if t.state != DELETED]
 
@@ -432,11 +458,75 @@ class OracleTracker:
             ok, pose3d, n_views = self._init_triangulate(hyp)
             if not ok:
                 continue
-            tr = OracleTrack(
-                self.next_id, frame_id, hyp.cam_ids, hyp.poses, pose3d, n_views, p
-            )
-            self.next_id += 1
+            if self._rescue_stale(frame_id, pose3d, n_views, hyp):
+                continue
+            revived = self._match_graveyard(frame_id, pose3d)
+            if revived is not None:
+                tr = OracleTrack(
+                    revived, frame_id, hyp.cam_ids, hyp.poses, pose3d,
+                    n_views, p,
+                )
+                tr.state = CONFIRMED
+                tr.hits = p.n_init
+            else:
+                tr = OracleTrack(
+                    self.next_id, frame_id, hyp.cam_ids, hyp.poses, pose3d,
+                    n_views, p,
+                )
+                self.next_id += 1
             self.tracks.append(tr)
+
+    def _rescue_stale(self, frame_id, pose3d, n_views, hyp):
+        """A hypothesis landing on a stale ACTIVE confirmed track's motion-
+        predicted pose re-seeds that track instead of spawning a duplicate:
+        identity (id, confirmed, hits) continues, kinematics restart like a
+        birth. Returns True when a track was rescued."""
+        p = self.p
+        if p.resurrect_window <= 0:
+            return False
+        best, best_d = None, np.inf
+        for tr in self.tracks:
+            if tr.state != CONFIRMED or tr.time_since_update < 1:
+                continue
+            lt, lp = tr.history[-1]
+            d = float(np.mean(np.linalg.norm(pose3d - lp, axis=-1)))
+            gate = p.resurrect_dist + p.resurrect_speed * (frame_id - lt)
+            if d < gate and d < best_d:
+                best, best_d = tr, d
+        if best is None:
+            return False
+        tr = best
+        for cid, pose in zip(hyp.cam_ids, hyp.poses):
+            tr.poses2d[int(cid)] = (frame_id, np.array(pose))
+        tr.history = [(frame_id, np.array(pose3d, np.float64))]
+        tr.velocity = np.zeros((p.num_joints, 3))
+        tr.hits += 1
+        tr.time_since_update = 0
+        tr.already_update = True
+        tr.last_n_views = np.array(n_views)
+        return True
+
+    def _match_graveyard(self, frame_id, pose3d):
+        """Nearest unexpired graveyard entry whose last pose is inside its
+        motion-budget gate (resurrect_dist + resurrect_speed * frames since
+        its last update); consumed on match. Returns the revived id or
+        None."""
+        p = self.p
+        if p.resurrect_window <= 0:
+            return None
+        best, best_d = None, np.inf
+        for gi, g in enumerate(self.graveyard):
+            if frame_id - g["del"] > p.resurrect_window:
+                continue
+            d = float(np.mean(np.linalg.norm(pose3d - g["pose"], axis=-1)))
+            gate = p.resurrect_dist + p.resurrect_speed * (
+                frame_id - g["time"]
+            )
+            if d < gate and d < best_d:
+                best, best_d = gi, d
+        if best is not None:
+            return self.graveyard.pop(best)["id"]
+        return None
 
     def _init_triangulate(self, hyp: _Hypothesis):
         """hypothesis.get_3dpose_jf (hypothesis.py:23-44)."""

@@ -75,6 +75,20 @@ class TrackerConfig:
     joint_gate: int = 10
     update_window: int = 3
     arm_joints: tuple = (9, 10)
+    #: Track resurrection (new, no reference counterpart — the reference
+    #: mints a fresh id whenever a person re-emerges after max_age frames of
+    #: occlusion, `src/tracking/IterativeTracker.py:108-113`). When > 0, a
+    #: new hypothesis spawning near a recently-deleted CONFIRMED track's last
+    #: pose reuses that track's id (and confirmed status) instead, for up to
+    #: `resurrect_window` frames after the deletion. The gate is mean joint
+    #: distance < resurrect_dist + resurrect_speed * (frames since the
+    #: track's last update) — a motion budget, because a person keeps walking
+    #: while occluded (constant-velocity extrapolation measured WORSE than
+    #: the last pose on curved paths; see tests/test_resurrect.py). 0 = off
+    #: (reference parity, the default).
+    resurrect_window: int = 0
+    resurrect_dist: float = 0.3
+    resurrect_speed: float = 0.06  # meters/frame (~1.5 m/s at 25 fps)
 
 
 class TrackerState(NamedTuple):
@@ -95,6 +109,13 @@ class TrackerState(NamedTuple):
     last_n_views: jnp.ndarray  # (T, J) int32
     velocity: jnp.ndarray     # (T, J, 3)
     next_id: jnp.ndarray      # () int32
+    # Graveyard ring of recently-deleted confirmed tracks (resurrection;
+    # inert when TrackerConfig.resurrect_window == 0). G = max_tracks.
+    grave_id: jnp.ndarray     # (G,) int32, -1 = empty
+    grave_pose: jnp.ndarray   # (G, J, 3) last smoothed 3D pose
+    grave_time: jnp.ndarray   # (G,) int32 last-update frame (motion-budget origin)
+    grave_del: jnp.ndarray    # (G,) int32 deletion frame (window origin)
+    grave_ptr: jnp.ndarray    # () int32 ring write cursor
 
 
 class FrameOutput(NamedTuple):
@@ -126,6 +147,11 @@ def init_state(cfg: TrackerConfig) -> TrackerState:
         last_n_views=jnp.zeros((T, J), jnp.int32),
         velocity=jnp.zeros((T, J, 3), jnp.float32),
         next_id=jnp.int32(0),
+        grave_id=jnp.full(T, -1, jnp.int32),
+        grave_pose=jnp.zeros((T, J, 3), jnp.float32),
+        grave_time=jnp.full(T, NEVER, jnp.int32),
+        grave_del=jnp.full(T, NEVER, jnp.int32),
+        grave_ptr=jnp.int32(0),
     )
 
 
@@ -311,18 +337,42 @@ def _update_tracks(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
         )
         active = active & ~deleted
         return (active, confirmed, hits, tsu, hist_pose, hist_time, hist_count,
-                velocity, last_n_views)
+                velocity, last_n_views, deleted)
 
     (active, confirmed, hits, tsu, hist_pose, hist_time, hist_count, velocity,
-     last_n_views) = jax.vmap(one)(
+     last_n_views, deleted) = jax.vmap(one)(
         state.active, state.already_update, state.pose2d, state.pose2d_time,
         state.hist_pose, state.hist_time, state.hist_count, state.velocity,
         state.confirmed, state.hits, state.time_since_update, state.last_n_views,
     )
-    return state._replace(
+    state = state._replace(
         active=active, confirmed=confirmed, hits=hits, time_since_update=tsu,
         hist_pose=hist_pose, hist_time=hist_time, hist_count=hist_count,
         velocity=velocity, last_n_views=last_n_views,
+    )
+    if cfg.resurrect_window > 0:
+        state = _bury_tracks(cfg, state, deleted & confirmed, frame_id)
+    return state
+
+
+def _bury_tracks(cfg: TrackerConfig, state: TrackerState, push, frame_id):
+    """Push deleted confirmed tracks into the graveyard ring (resurrection).
+
+    Deleted slots keep their pre-deletion history/velocity (the failed-update
+    branch leaves them untouched), so the last pose, its timestamp and the
+    constant-velocity estimate are read straight off the state."""
+    G = cfg.max_tracks
+    last_pose, last_time = _last_hist(state)
+    rank = jnp.cumsum(push) - 1
+    pos = jnp.where(push, (state.grave_ptr + rank) % G, G)  # G -> dropped
+    return state._replace(
+        grave_id=state.grave_id.at[pos].set(state.track_id, mode="drop"),
+        grave_pose=state.grave_pose.at[pos].set(last_pose, mode="drop"),
+        grave_time=state.grave_time.at[pos].set(last_time, mode="drop"),
+        grave_del=state.grave_del.at[pos].set(
+            jnp.int32(frame_id), mode="drop"
+        ),
+        grave_ptr=(state.grave_ptr + jnp.sum(push).astype(jnp.int32)) % G,
     )
 
 
@@ -468,6 +518,17 @@ def _materialize_hypotheses(cfg, cams, state, hyp_pose, hyp_member, hyp_count,
     ok, pose3d, n_views = jax.vmap(build)(hyp_member, hyp_pose)
     ok = ok & hyp_valid
 
+    if cfg.resurrect_window > 0:
+        # Rescue: a hypothesis landing on a stale ACTIVE confirmed track's
+        # motion-predicted pose re-seeds that track instead of spawning a
+        # near-duplicate (the dominant id-churn pattern on long streams: the
+        # track misses one re-association, the duplicate spawns, the original
+        # ages out max_age frames later under a fresh id).
+        rescued, rescue_slot, state = _rescue_stale_tracks(
+            cfg, state, ok, pose3d, n_views, hyp_pose, hyp_member, frame_id
+        )
+        ok = ok & ~rescued
+
     # Allocate free track slots in hypothesis order.
     free = ~state.active
     free_rank = jnp.cumsum(free) - 1  # (T,)
@@ -482,15 +543,29 @@ def _materialize_hypotheses(cfg, cams, state, hyp_pose, hyp_member, hyp_count,
         axis=1,
     )
     enough = hyp_rank < jnp.sum(free)
-    slot = jnp.where(ok & enough, slot_of_hyp, T)  # T -> dropped
+    alloc = ok & enough
+    slot = jnp.where(alloc, slot_of_hyp, T)  # T -> dropped
 
-    new_ids = state.next_id + hyp_rank.astype(jnp.int32)
+    if cfg.resurrect_window > 0:
+        res_id, grave_id = _match_graveyard(cfg, state, pose3d, alloc, frame_id)
+        state = state._replace(grave_id=grave_id)
+    else:
+        res_id = jnp.full(MH, -1, jnp.int32)
+    resur = res_id >= 0
+    fresh = ok & ~resur
+    fresh_rank = (jnp.cumsum(fresh) - 1).astype(jnp.int32)
+    new_ids = jnp.where(resur, res_id, state.next_id + fresh_rank)
     st = state
     st = st._replace(
         active=st.active.at[slot].set(True, mode="drop"),
-        confirmed=st.confirmed.at[slot].set(False, mode="drop"),
+        # Resurrected hypotheses continue a confirmed identity: they re-enter
+        # confirmed with n_init hits instead of re-serving the tentative
+        # probation.
+        confirmed=st.confirmed.at[slot].set(resur, mode="drop"),
         track_id=st.track_id.at[slot].set(new_ids, mode="drop"),
-        hits=st.hits.at[slot].set(1, mode="drop"),
+        hits=st.hits.at[slot].set(
+            jnp.where(resur, cfg.n_init, 1), mode="drop"
+        ),
         time_since_update=st.time_since_update.at[slot].set(0, mode="drop"),
         already_update=st.already_update.at[slot].set(False, mode="drop"),
         pose2d=st.pose2d.at[slot].set(hyp_pose, mode="drop"),
@@ -506,9 +581,105 @@ def _materialize_hypotheses(cfg, cams, state, hyp_pose, hyp_member, hyp_count,
     st = st._replace(
         hist_pose=st.hist_pose.at[slot, 0].set(pose3d, mode="drop"),
         hist_time=st.hist_time.at[slot, 0].set(frame_id, mode="drop"),
-        next_id=st.next_id + jnp.sum(ok).astype(jnp.int32),
+        next_id=st.next_id + jnp.sum(fresh).astype(jnp.int32),
     )
     return st
+
+
+def _rescue_stale_tracks(cfg, state, ok, pose3d, n_views, hyp_pose,
+                         hyp_member, frame_id):
+    """Greedy hypothesis -> stale-active-track matching (resurrection).
+
+    A stale track (confirmed, active, missed this frame's association) whose
+    last pose lies within the motion-budget gate of an ok hypothesis is
+    re-seeded from that hypothesis: identity (id, confirmed, hits) continues,
+    kinematics restart exactly like a track birth (history = [triangulated
+    hypothesis pose], zero velocity, member cameras' 2D poses stamped at
+    `frame_id`). Returns (rescued (MH,) bool, rescue_slot (MH,), new state).
+    """
+    T, MH = cfg.max_tracks, cfg.max_hyp
+    last_pose, last_time = _last_hist(state)
+    stale = state.active & state.confirmed & (state.time_since_update >= 1)
+    dist = jnp.mean(
+        jnp.linalg.norm(pose3d[:, None] - last_pose[None], axis=-1), axis=-1
+    )  # (MH, T)
+    gate = cfg.resurrect_dist + cfg.resurrect_speed * (
+        frame_id - last_time
+    ).astype(jnp.float32)  # (T,)
+    dist = jnp.where(
+        ok[:, None] & stale[None, :] & (dist < gate[None, :]), dist, jnp.inf
+    )
+    rescued = jnp.zeros(MH, bool)
+    rescue_slot = jnp.zeros(MH, jnp.int32)
+    for h in range(MH):  # static loop; only compiled when resurrection is on
+        t = jnp.argmin(dist[h])
+        hit = jnp.isfinite(dist[h, t])
+        rescued = rescued.at[h].set(hit)
+        rescue_slot = rescue_slot.at[h].set(t.astype(jnp.int32))
+        dist = jnp.where(hit, dist.at[:, t].set(jnp.inf), dist)
+
+    rslot = jnp.where(rescued, rescue_slot, T)  # T -> dropped
+    safe = jnp.clip(rescue_slot, 0, T - 1)
+    old2d = jnp.take(state.pose2d, safe, axis=0)        # (MH, C, J, 3)
+    old2dt = jnp.take(state.pose2d_time, safe, axis=0)  # (MH, C)
+    new2d = jnp.where(hyp_member[:, :, None, None], hyp_pose, old2d)
+    new2dt = jnp.where(hyp_member, jnp.int32(frame_id), old2dt)
+    old_hits = jnp.take(state.hits, safe)
+    st = state._replace(
+        pose2d=state.pose2d.at[rslot].set(new2d, mode="drop"),
+        pose2d_time=state.pose2d_time.at[rslot].set(new2dt, mode="drop"),
+        hits=state.hits.at[rslot].set(old_hits + 1, mode="drop"),
+        time_since_update=state.time_since_update.at[rslot].set(
+            0, mode="drop"
+        ),
+        already_update=state.already_update.at[rslot].set(True, mode="drop"),
+        hist_pose=state.hist_pose.at[rslot].set(0.0, mode="drop"),
+        hist_time=state.hist_time.at[rslot].set(NEVER, mode="drop"),
+        hist_count=state.hist_count.at[rslot].set(1, mode="drop"),
+        last_n_views=state.last_n_views.at[rslot].set(n_views, mode="drop"),
+        velocity=state.velocity.at[rslot].set(0.0, mode="drop"),
+    )
+    st = st._replace(
+        hist_pose=st.hist_pose.at[rslot, 0].set(pose3d, mode="drop"),
+        hist_time=st.hist_time.at[rslot, 0].set(frame_id, mode="drop"),
+    )
+    return rescued, rescue_slot, st
+
+
+def _match_graveyard(cfg, state, pose3d, alloc, frame_id):
+    """Greedy hypothesis -> recently-deleted-track matching (resurrection).
+
+    For each allocatable hypothesis in order, the nearest unexpired graveyard
+    entry (mean joint distance between the hypothesis pose and the entry's
+    last pose) inside its motion-budget gate — resurrect_dist +
+    resurrect_speed * frames since the entry's last update — is claimed;
+    claimed entries are consumed. Returns (res_id (MH,) int32 with -1 for no
+    match, updated grave_id with consumed entries cleared)."""
+    G = cfg.max_tracks
+    MH = cfg.max_hyp
+    dist = jnp.mean(
+        jnp.linalg.norm(pose3d[:, None] - state.grave_pose[None], axis=-1),
+        axis=-1,
+    )  # (MH, G)
+    gate = cfg.resurrect_dist + cfg.resurrect_speed * (
+        frame_id - state.grave_time
+    ).astype(jnp.float32)  # (G,)
+    g_valid = (state.grave_id >= 0) & (
+        frame_id - state.grave_del <= cfg.resurrect_window
+    )
+    dist = jnp.where(
+        alloc[:, None] & g_valid[None, :] & (dist < gate[None, :]),
+        dist, jnp.inf,
+    )
+    res_id = jnp.full(MH, -1, jnp.int32)
+    consumed = jnp.zeros(G, bool)
+    for h in range(MH):  # static loop; only compiled when resurrection is on
+        g = jnp.argmin(dist[h])
+        hit = jnp.isfinite(dist[h, g])
+        res_id = res_id.at[h].set(jnp.where(hit, state.grave_id[g], -1))
+        consumed = consumed.at[g].set(consumed[g] | hit)
+        dist = jnp.where(hit, dist.at[:, g].set(jnp.inf), dist)
+    return res_id, jnp.where(consumed, -1, state.grave_id)
 
 
 # --------------------------------------------------------------------------

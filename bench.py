@@ -373,10 +373,12 @@ def main():
 
     # W32 fast-serving leg (BENCH_W32=0 to skip): the "different model"
     # path past the W48 lane floor (docs/PERF.md r3 conclusion) — official
-    # pose_hrnet_w32 at 256x192 crops, int8, same clip workload. Emitted as
-    # a SECOND, clearly-labeled JSON line (measured 173.6 fps/chip = 4.63x
-    # target); the FIRST line stays the W48 flagship for baseline
-    # comparability across rounds.
+    # pose_hrnet_w32 at 256x192 crops, int8, same clip workload. Reported
+    # as structured JSON on STDERR only (measured 173.6 fps/chip = 4.63x
+    # target): the driver parses the LAST stdout JSON line, and the
+    # round-over-round comparable headline must stay the W48 flagship
+    # (VERDICT r3 weak #3 — round 3 accidentally recorded the W32 leg as
+    # the parsed headline).
     if os.environ.get("BENCH_W32", "1") != "0":
         try:
             from tpupose.models.hrnet import hrnet_w32_config
@@ -457,6 +459,7 @@ def main():
                         "scales": "uncalibrated-timing-only",
                     }
                 ),
+                file=sys.stderr,
                 flush=True,
             )
         except Exception as e:

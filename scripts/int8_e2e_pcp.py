@@ -1,0 +1,147 @@
+"""End-to-end int8 accuracy at the metric the reference publishes: 3D PCP
+after multi-view triangulation + tracking (`src/evalmodel.py:120-206`).
+
+VERDICT r3 missing #2 / next-round #3: the distill-QAT agreement gate
+(`scripts/int8_w48_agreement.py`) stops at decoded 2D keypoints; the claim
+that the multi-view epipolar check + greedy view drop absorbs the residual
+<5% argmax-jump outliers was asserted, never measured. This script measures
+it (machinery in `tpupose/eval/e2e.py`, pinned at tiny scale by
+`tests/test_int8_e2e_pcp.py`):
+
+  1. train the real-topology W48 (or W32, `--w32`) on-chip on the blob-
+     localization task until its decoded keypoints are accurate to a few
+     pixels (the only supervised task in an environment with no datasets —
+     same as the agreement lab; reuse a saved bundle with `--load`);
+  2. build a synthetic 5-camera scene with known GT 3D, and for every
+     (frame, camera, actor) render the model's OWN input distribution — a
+     blob crop at the projected GT 2D keypoints (rendered directly in crop
+     space; both trees see byte-identical crops, so resampling style cannot
+     bias the comparison);
+  3. run the crops through the bf16 tree, the distill-QAT int8 tree
+     (`--qat-steps`, default 900 — the measured W48 remedy), and the plain
+     per-tensor PTQ tree (the configuration docs/PERF.md r3 proved breaks a
+     learned W48 — kept as the measured negative control);
+  4. decode each (quarter = reference-parity serving default AND parabolic
+     = recommended int8 mode), feed the decoded keypoints as detections to
+     the full jitted tracker (`track_clip`), harvest per-frame 3D poses,
+     and score PCP against the scene GT exactly like the reference.
+
+Exit 0 iff, in BOTH decode modes, |PCP(bf16) - PCP(distill int8)| <= 1.0
+PCP point. The PTQ row is informational (expected: collapse).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_e2e_pcp.py \
+         [--w32] [--load bundle.npz | --save bundle.npz] [--frames 40] \
+         [--qat-steps 900] [--calib 32]
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from int8_w48_agreement import (  # noqa: E402
+    _argval,
+    _fetch,
+    _load_bundle,
+    _save_bundle,
+    learned_w48,
+)
+
+from tpupose.eval.e2e import (  # noqa: E402
+    build_scene_crops,
+    decode_tree,
+    pcp_through_tracker,
+)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tpupose.models.hrnet import hrnet_apply
+    from tpupose.models.quantize import (
+        distill_qat,
+        hrnet_skip_ids,
+        quantize_hrnet,
+    )
+
+    cfg = None
+    if "--w32" in sys.argv:
+        from tpupose.models.hrnet import hrnet_w32_config
+
+        cfg = hrnet_w32_config()
+    elif "--tiny" in sys.argv:
+        # CPU smoke of the full orchestration (train -> quantize x2 ->
+        # decode x6 -> tracker -> PCP) before committing chip time; the
+        # tiny net learns the blob task slowly, so the PCP numbers are
+        # NOT evidence — the run exercising every stage is the point.
+        from tpupose.models.hrnet import tiny_test_config
+
+        cfg = tiny_test_config()
+
+    load = _argval("--load")
+    if load:
+        folded, _, _ = _load_bundle(load)
+        if cfg is None:
+            from tpupose.models.hrnet import hrnet_w48_config
+
+            cfg = hrnet_w48_config()
+    else:
+        folded, _imgs, _kps, _ = learned_w48(
+            steps=int(_argval("--train-steps", 4000)),
+            block=int(_argval("--train-block", 200)), cfg=cfg,
+        )
+        if cfg is None:
+            from tpupose.models.hrnet import hrnet_w48_config
+
+            cfg = hrnet_w48_config()
+        save = _argval("--save")
+        if save:
+            _save_bundle(save, folded, _imgs, _kps)
+
+    frames = int(_argval("--frames", 40))
+    qat_steps = int(_argval("--qat-steps", 900))
+    n_calib = int(_argval("--calib", 32))
+    print(f"building scene + rendering crops ({frames} frames x 5 cams x "
+          "2 actors) ...", file=sys.stderr, flush=True)
+    scene, crops, eboxes = build_scene_crops(cfg, num_frames=frames)
+
+    calib = crops[:n_calib]
+    print("quantizing: plain PTQ (negative control) ...", file=sys.stderr,
+          flush=True)
+    ptq = quantize_hrnet(folded, cfg, jnp.asarray(calib))
+    print(f"quantizing: distill-QAT {qat_steps} steps (the shipped "
+          "escalation remedy) ...", file=sys.stderr, flush=True)
+    batches = [jnp.asarray(calib[i:i + 4]) for i in range(0, n_calib, 4)]
+    dq = distill_qat(
+        lambda p, b: hrnet_apply(p, cfg, b), folded, cfg, batches,
+        steps=qat_steps, lr=1e-5, skip_ids=hrnet_skip_ids(folded),
+        log=lambda i, l: print(f"  distill step {i}: loss={l:.6f}",
+                               file=sys.stderr, flush=True),
+    )
+
+    ok = True
+    for refine in ("quarter", "parabolic"):
+        pcps = {}
+        for name, tree in (("bf16", folded), ("int8-distill", dq),
+                           ("int8-ptq", ptq)):
+            kps = decode_tree(tree, cfg, crops, eboxes, refine, fetch=_fetch)
+            res = pcp_through_tracker(scene, kps)
+            pcps[name] = res["average"] * 100
+            print(f"[decode={refine}] {name}: PCP {pcps[name]:.2f}")
+            if name == "bf16":
+                print(res["table"])
+        delta = pcps["int8-distill"] - pcps["bf16"]
+        print(
+            f"[decode={refine}] END-TO-END PCP: bf16 {pcps['bf16']:.2f}  "
+            f"int8-distill {pcps['int8-distill']:.2f} (delta {delta:+.2f}) "
+            f" int8-ptq {pcps['int8-ptq']:.2f} (negative control)",
+            flush=True,
+        )
+        if abs(delta) > 1.0:
+            ok = False
+    print("OK" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

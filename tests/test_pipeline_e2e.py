@@ -101,7 +101,10 @@ def test_quantized_pipeline_smoke():
     clip = np.stack([images, images])  # (F=2, C=3, H, W, 3)
     dets_f, mask_f = pipe.process_clip_nn(clip)
 
-    pipe.quantize_models(images)
+    # box_lost_gate=1.0: a RANDOM-weight tiny YOLO regresses arbitrary box
+    # geometry from noise, so the self-check's box axis is undefined here
+    # (see tests/test_int8_selfcheck.py); the keypoint axis stays on.
+    pipe.quantize_models(images, box_lost_gate=1.0)
     assert "weight_q" in pipe.pose_params["layer1"]["0"]["conv1"]
     dets_q, mask_q = pipe.process_clip_nn(clip)
     assert dets_q.shape == dets_f.shape
@@ -140,8 +143,10 @@ def test_quantize_models_qat_mode():
     dets_f, mask_f = pipe.process_clip_nn(clip)
 
     logs = []
+    # box_lost_gate=1.0 for the same random-weight reason as the smoke test
     pipe.quantize_models(images, qat_steps=6, qat_batch=2,
-                         qat_log=lambda i, l: logs.append((i, l)))
+                         qat_log=lambda i, l: logs.append((i, l)),
+                         box_lost_gate=1.0)
     assert is_quantized_conv(pipe.pose_params["layer1"]["0"]["conv1"])
     assert is_quantized_conv(pipe.det_params["conv1"]["conv"])
     # no fake-quant leaves left anywhere in the serving trees

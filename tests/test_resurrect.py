@@ -255,6 +255,103 @@ def test_resurrect_yaml_keys_reach_tracker_config(tmp_path):
     assert tcfg.resurrect_window == 0
 
 
+def test_graveyard_ring_overflow_parity():
+    """The jit graveyard is a fixed ring of max_tracks entries (burial #n
+    evicts burial #(n - max_tracks), consumed or not); the oracle mirrors
+    that cap. Overflow the ring with more confirmed deletions than capacity
+    inside one (huge) resurrect window and assert the surviving entry ids
+    match at every frame. resurrect_dist is microscopic so nothing is ever
+    rescued or revived — every re-appearance mints, every deletion buries."""
+    CYCLE, N_CYCLES = 17, 7
+    F = CYCLE * N_CYCLES
+    scene = make_scene(num_frames=F, num_actors=1, noise_px=0.5, seed=9)
+    for k in range(N_CYCLES):
+        # visible 5 frames (confirm at 3 hits), occluded 12 (> max_age=10)
+        scene.visible[k * CYCLE + 5:(k + 1) * CYCLE, :, 0] = False
+        # teleport each re-appearance far away so nothing could ever match
+        scene.gt3d[k * CYCLE:(k + 1) * CYCLE, 0, :, 0] += 2.0 * (k % 2)
+    from tpupose.data.synthetic import _project
+    for c in range(scene.num_cameras):
+        scene.gt2d[:, c] = _project(scene.P[c].astype(np.float64), scene.gt3d)
+    rng = np.random.default_rng(13)
+    scene.detections[..., :2] = (
+        scene.gt2d + rng.normal(scale=0.5, size=scene.gt2d.shape)
+    ).astype(np.float32)
+
+    G = 4
+    cfg = TrackerConfig(
+        num_cameras=5, max_dets=8, max_tracks=G, max_hyp=24,
+        resurrect_window=10_000, resurrect_dist=1e-4, resurrect_speed=0.0,
+    )
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width,
+                          scene.height)
+    oracle = OracleTracker(
+        _Cameras(np.asarray(rig.P), np.asarray(rig.F), np.asarray(rig.rk_inv),
+                 np.asarray(rig.center)),
+        TrackerParams(resurrect_window=10_000, resurrect_dist=1e-4,
+                      resurrect_speed=0.0, max_tracks=G),
+    )
+    step = make_step_fn(cfg)
+    state = init_state(cfg)
+    overflowed = False
+    for t in range(F):
+        oracle.step(t, scene.detections_list(t))
+        dets = np.zeros((5, cfg.max_dets, 17, 3), np.float32)
+        mask = np.zeros((5, cfg.max_dets), bool)
+        for c, d in enumerate(scene.detections_list(t)):
+            n = min(len(d), cfg.max_dets)
+            dets[c, :n] = d[:n]
+            mask[c, :n] = True
+        state, _ = step(rig, state, jnp.asarray(dets), jnp.asarray(mask), t)
+        jit_ids = sorted(
+            int(i) for i in np.asarray(state.grave_id) if i >= 0
+        )
+        ora_ids = sorted(g["id"] for g in oracle.graveyard)
+        assert jit_ids == ora_ids, f"frame {t}: {jit_ids} vs {ora_ids}"
+        if oracle._burials > G:
+            overflowed = True
+    assert overflowed  # the scenario actually wrapped the ring
+    assert len(ora_ids) == G  # capacity held, oldest evicted
+
+
+def test_n_init_1_tentative_deletion_not_buried():
+    """Burial condition is `deleted & confirmed` in both implementations:
+    with n_init=1 a just-born track (hits=1) is still TENTATIVE until its
+    first successful update, so a one-frame detection blip must NOT reach
+    the graveyard (the old hits >= n_init proxy would have buried it)."""
+    scene = make_scene(num_frames=10, num_actors=1, noise_px=0.5, seed=4)
+    scene.visible[1:, :, 0] = False  # actor exists for exactly one frame
+    cfg = TrackerConfig(
+        num_cameras=5, max_dets=8, max_tracks=12, max_hyp=24,
+        n_init=1, resurrect_window=20,
+    )
+    rig = make_camera_set(scene.P, scene.K, scene.RT, scene.width,
+                          scene.height)
+    oracle = OracleTracker(
+        _Cameras(np.asarray(rig.P), np.asarray(rig.F), np.asarray(rig.rk_inv),
+                 np.asarray(rig.center)),
+        TrackerParams(n_init=1, resurrect_window=20, max_tracks=12),
+    )
+    step = make_step_fn(cfg)
+    state = init_state(cfg)
+    for t in range(scene.num_frames):
+        oracle.step(t, scene.detections_list(t))
+        dets = np.zeros((5, cfg.max_dets, 17, 3), np.float32)
+        mask = np.zeros((5, cfg.max_dets), bool)
+        for c, d in enumerate(scene.detections_list(t)):
+            n = min(len(d), cfg.max_dets)
+            dets[c, :n] = d[:n]
+            mask[c, :n] = True
+        state, _ = step(rig, state, jnp.asarray(dets), jnp.asarray(mask), t)
+    # The track was born...
+    assert int(np.asarray(state.next_id)) == oracle.next_id == 1
+    # ...and deleted tentative: no burial on either side.
+    assert (np.asarray(state.grave_id) == -1).all()
+    assert oracle.graveyard == []
+    assert not np.asarray(state.active).any()
+    assert len(oracle.tracks) == 0
+
+
 def test_resurrection_reduces_id_churn_and_keeps_idf1():
     """On the soak stream's continuous adversarial scene, resurrection cuts
     minted ids and does not hurt (typically improves) identity quality."""

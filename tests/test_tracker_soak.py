@@ -91,10 +91,14 @@ def test_soak_1000_frames_continuous_stream():
             "oracle tracks"
         )
         # 2. id minting bounded by real births: every near-tie flip costs at
-        #    most one extra delete + re-birth cycle, so the jitted count
-        #    stays within ~2x the oracle's (measured: 20 vs 12 at frame
-        #    700 on this stream), far from the per-frame-churn failure mode.
-        assert abs(next_id - oracle.next_id) <= max(8, oracle.next_id), (
+        #    most one extra delete + re-birth cycle. Measured per-checkpoint
+        #    jit-minus-oracle diffs on this stream: 1,1,3,5,5,6,8,8,8,8 —
+        #    the band is the measured maximum, far from the per-frame-churn
+        #    failure mode. (Track resurrection, default-off for reference
+        #    parity, cuts the jit count 22 -> 19 at w=25/d=0.5 — see
+        #    tests/test_resurrect.py and docs/API.md for the measured
+        #    trade-off.)
+        assert abs(next_id - oracle.next_id) <= 8, (
             f"frame {end}: next_id {next_id} vs oracle {oracle.next_id}"
         )
         # 3. History pruning stable: counts within capacity, poses finite.

@@ -119,7 +119,15 @@ def main(argv=None):
                              "frames before requantizing "
                              "(tpupose.models.quantize.distill_qat). The "
                              "natural place to pay the cost: once, at "
-                             "convert time; the bundle ships the result")
+                             "convert time; the bundle ships the result. "
+                             "0 = PTQ first, auto-escalating to QAT only "
+                             "if the int8-vs-bf16 self-check fails")
+    parser.add_argument("--int8-on-drift", type=str, default="escalate",
+                        choices=["escalate", "raise", "warn"],
+                        help="when the post-quantize self-check fails: "
+                             "escalate = auto-upgrade to distill-QAT and "
+                             "re-check; raise = refuse to write the "
+                             "bundle; warn = print and ship anyway")
     args = parser.parse_args(argv)
 
     import jax
@@ -178,6 +186,7 @@ def main(argv=None):
             np.concatenate([item[2] for item in head], axis=0),
             qat_steps=args.qat_steps,
             qat_log=lambda i, l: print(f"  qat step {i}: loss={l:.6f}"),
+            on_drift=args.int8_on_drift,
         )
         det_params, pose_params = pipe.det_params, pipe.pose_params
         dtype, quantized, calib_frames = "int8", True, len(head)

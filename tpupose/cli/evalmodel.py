@@ -59,7 +59,18 @@ def main(argv=None):
                              "backbone for N straight-through steps to match "
                              "its own float outputs on the calibration "
                              "frames before requantizing (distill_qat); "
-                             "0 = plain PTQ")
+                             "0 = PTQ first, auto-escalating to QAT only if "
+                             "the built-in int8-vs-bf16 self-check fails "
+                             "(see --int8-on-drift)")
+    parser.add_argument("--int8-on-drift", type=str, default="escalate",
+                        choices=["escalate", "raise", "warn"],
+                        help="when the post-quantize self-check (decoded "
+                             "keypoints int8 vs bf16 on the calibration "
+                             "frames) exceeds the drift gate: escalate = "
+                             "auto-upgrade to distill-QAT (900 steps, the "
+                             "remedy measured at W48 scale) and re-check; "
+                             "raise = refuse to serve; warn = print and "
+                             "continue with the drifted trees")
     parser.add_argument("--bundle", type=str, default=None,
                         help="pre-converted orbax serving bundle dir "
                              "(python -m tpupose.cli.convert); serving then "
@@ -125,6 +136,7 @@ def main(argv=None):
             pipe.quantize_models(
                 np.concatenate([item[2] for item in head], axis=0),
                 qat_steps=args.qat_steps,
+                on_drift=args.int8_on_drift,
             )
         image_hw = (images0.shape[1], images0.shape[2])
 
@@ -156,16 +168,26 @@ def main(argv=None):
 
 
 def _probe_image_size(cfg):
-    """Image (width, height) from the first frame on disk, else a default
-    (replay runs may have no images at all)."""
-    try:
-        from tpupose.data.dataset import load_filenames, load_images
+    """Image (width, height) from the first frame on disk.
 
+    A replay run legitimately may have NO images at all (cached-detections
+    datasets) — that case falls back to 1280x720 with a notice. But a
+    dataset that HAS image files which cannot be read is a broken dataset:
+    silently substituting a default resolution would hand the tracker
+    wrong-scale cameras, so that fails loudly instead."""
+    from tpupose.data.dataset import load_filenames, load_images
+
+    try:
         datas = load_filenames(cfg.dataset)
-        images, _ = load_images(cfg.dataset.test_dataset, datas[0])
-        return images[0].shape[1], images[0].shape[0]
     except Exception:
+        datas = []
+    if not datas or not datas[0]:
+        print("note: no dataset images found (replay without frames); "
+              "assuming 1280x720 for the camera rig")
         return 1280, 720
+    # Images exist on disk -> they must be readable.
+    images, _ = load_images(cfg.dataset.test_dataset, datas[0])
+    return images[0].shape[1], images[0].shape[0]
 
 
 def _run_synthetic(args, timer):

@@ -33,13 +33,20 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--save-images", action="store_true")
-    parser.add_argument("--clip", type=int, default=0,
+    parser.add_argument("--clip", type=int, default=32,
                         help="buffer N frames through the two-stage clip "
-                             "pipeline (the benchmark's throughput shape); "
+                             "pipeline (the benchmark's throughput shape, "
+                             "on by default so the timing demo reports the "
+                             "benched fast path — parity with evalmodel); "
                              "0 = per-frame")
     parser.add_argument("--int8", action="store_true",
-                        help="int8 serving mode (PTQ, calibrated on the "
-                             "first frame's views)")
+                        help="int8 serving mode (calibrated on the first "
+                             "frame's views; a decoded-keypoint self-check "
+                             "vs bf16 escalates to distill-QAT if PTQ "
+                             "drifts — see evalmodel --int8-on-drift)")
+    parser.add_argument("--int8-on-drift", type=str, default="escalate",
+                        choices=["escalate", "raise", "warn"],
+                        help="what to do when the int8 self-check fails")
     parser.add_argument("--bundle", type=str, default=None,
                         help="pre-converted orbax serving bundle dir "
                              "(python -m tpupose.cli.convert)")
@@ -60,7 +67,7 @@ def main(argv=None):
     pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2],
                                images0.shape[1], bundle=args.bundle)
     if args.int8:
-        pipe.quantize_models(images0)
+        pipe.quantize_models(images0, on_drift=args.int8_on_drift)
     out_dir = os.path.join(cfg.output, cfg.dataset.test_dataset, "Images")
     os.makedirs(out_dir, exist_ok=True)
 

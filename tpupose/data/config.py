@@ -97,7 +97,7 @@ class MatcherConfig:
     # RESURRECT_WINDOW (frames, 0 = off = reference parity), RESURRECT_DIST
     # (meters) and RESURRECT_SPEED (meters/frame motion budget).
     resurrect_window: int = 0
-    resurrect_dist: float = 0.3
+    resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06
 
 
@@ -226,7 +226,7 @@ def load_config(path: str) -> Config:
         arm_sigma=float(mm.get("ARM_SIGMA", 0.8)),
         joint_gate=int(mm.get("JOINT_GATE", 10)),
         resurrect_window=int(mm.get("RESURRECT_WINDOW", 0)),
-        resurrect_dist=float(mm.get("RESURRECT_DIST", 0.3)),
+        resurrect_dist=float(mm.get("RESURRECT_DIST", 0.5)),
         resurrect_speed=float(mm.get("RESURRECT_SPEED", 0.06)),
     )
 

@@ -29,6 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class QuantizationDriftError(RuntimeError):
+    """The quantized model's outputs drifted beyond the accuracy gate on
+    the calibration inputs (Pipeline.quantize_models self-check). Plain
+    per-tensor PTQ provably breaks learned W48 checkpoints (52.6 px decoded
+    error — docs/PERF.md round 3); this error means serving would be
+    silently wrong."""
+
+
 class ActRecorder:
     """Collects per-conv input range statistics during one traced forward.
 

@@ -74,6 +74,20 @@ def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
     return dets, mask
 
 
+def _box_iou(box, others):
+    """IoU of one (4,) xyxy box against (M, 4) boxes."""
+    x1 = np.maximum(box[0], others[:, 0])
+    y1 = np.maximum(box[1], others[:, 1])
+    x2 = np.minimum(box[2], others[:, 2])
+    y2 = np.minimum(box[3], others[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    a = np.clip(box[2] - box[0], 0, None) * np.clip(box[3] - box[1], 0, None)
+    b = np.clip(others[:, 2] - others[:, 0], 0, None) * np.clip(
+        others[:, 3] - others[:, 1], 0, None
+    )
+    return inter / np.maximum(a + b - inter, 1e-9)
+
+
 @dataclasses.dataclass
 class Pipeline:
     """Holds camera rig, model params, tracker config/state and the compiled
@@ -137,8 +151,10 @@ class Pipeline:
         self._clips_nn_fn = None
 
     def quantize_models(self, sample_images, qat_steps=0, qat_lr=1e-5,
-                        qat_batch=8, qat_log=None):
-        """Switch both backbones to int8 serving mode (PTQ).
+                        qat_batch=8, qat_log=None, check_px=2.5,
+                        on_drift="escalate", escalate_steps=900,
+                        box_lost_gate=0.25):
+        """Switch both backbones to int8 serving mode — SAFELY.
 
         Calibrates activation scales by running the real preprocess ->
         detect -> crop path on `sample_images` ((N, H, W, 3) uint8/float
@@ -156,6 +172,26 @@ class Pipeline:
         serving speed is identical (the shipped tree is the same int8
         structure).
 
+        **Self-check (on by default).** Plain per-tensor PTQ provably
+        breaks LEARNED W48 checkpoints (52.6 px decoded error vs bf16's
+        0.92 px — docs/PERF.md round 3), so after quantizing, the decoded
+        keypoints of the int8 pose tree are compared against the bf16
+        tree on the calibration crops (both trees are in hand; one extra
+        forward each), and the int8 detector's boxes against the bf16
+        detector's. If the median keypoint shift exceeds `check_px`
+        (default 2.5 px — the agreement lab's gate, which allows the
+        quarter-offset argmax tie of exactly 2 px at stride 4) or more
+        than `box_lost_gate` (default 25%) of the bf16 boxes have no
+        IoU>=0.5 int8 counterpart, `on_drift` decides:
+
+          * ``"escalate"`` (default): print the measured drift and re-run
+            as label-free distill-QAT with `escalate_steps` steps (900 =
+            the remedy measured at W48 scale), then re-check; raise
+            `QuantizationDriftError` if STILL failing;
+          * ``"raise"``: raise `QuantizationDriftError` immediately;
+          * ``"warn"``: print the measured drift and keep the PTQ trees;
+          * `check_px=None` disables the check entirely.
+
         Measured on v5e: ~1.25-1.5x per HRNet conv, more on wide YOLO
         layers (docs/PERF.md)."""
         from tpupose.models.hrnet import hrnet_apply
@@ -169,28 +205,23 @@ class Pipeline:
         from tpupose.models.yolov3 import prepare_yolo_images as _prep
         from tpupose.models.yolov3 import yolov3_apply
 
+        if on_drift not in ("escalate", "raise", "warn"):
+            raise ValueError(f"on_drift must be escalate/raise/warn, "
+                             f"got {on_drift!r}")
+
         def batched(arr):
             m = max(1, min(qat_batch, arr.shape[0]))
             return [arr[i:i + m] for i in range(0, arr.shape[0], m)]
 
+        det_bf16, pose_bf16 = self.det_params, self.pose_params
         x = jnp.asarray(sample_images)
         n, h, w, _ = x.shape
         # calibrate on the SAME bf16 preprocessing the fused programs run
         xf = x.astype(jnp.bfloat16) / 255.0
         ximg = _prep(self.det_cfg, xf)
-        if qat_steps > 0:
-            self.det_params = distill_qat(
-                lambda p, b: yolov3_apply(p, self.det_cfg, b),
-                self.det_params, self.det_cfg, batched(ximg),
-                steps=qat_steps, lr=qat_lr,
-                skip_ids=yolo_skip_ids(self.det_params, self.det_cfg),
-                log=qat_log,
-            )
-        else:
-            self.det_params = quantize_yolo(
-                self.det_params, self.det_cfg, ximg
-            )
-        boxes, _, _ = detect_people(self.det_params, self.det_cfg, ximg, (h, w))
+        # Reference boxes/crops/keypoints from the bf16 trees: the pose
+        # calibration crops and the self-check baseline in one pass.
+        boxes, _, valid = detect_people(det_bf16, self.det_cfg, ximg, (h, w))
         in_h, in_w = self.pose_cfg.input_size
         k = boxes.shape[1]
         eboxes = expand_box_to_aspect(boxes.reshape(-1, 4), in_h / in_w)
@@ -200,18 +231,130 @@ class Pipeline:
         crops = normalize_image(
             crops.reshape(n * k, in_h, in_w, 3), value_scale=1.0
         )
-        if qat_steps > 0:
-            self.pose_params = distill_qat(
-                lambda p, b: hrnet_apply(p, self.pose_cfg, b),
-                self.pose_params, self.pose_cfg, batched(crops),
-                steps=qat_steps, lr=qat_lr,
-                skip_ids=hrnet_skip_ids(self.pose_params),
-                log=qat_log,
+
+        def quantize_both(steps):
+            if steps > 0:
+                det_q = distill_qat(
+                    lambda p, b: yolov3_apply(p, self.det_cfg, b),
+                    det_bf16, self.det_cfg, batched(ximg),
+                    steps=steps, lr=qat_lr,
+                    skip_ids=yolo_skip_ids(det_bf16, self.det_cfg),
+                    log=qat_log,
+                )
+                pose_q = distill_qat(
+                    lambda p, b: hrnet_apply(p, self.pose_cfg, b),
+                    pose_bf16, self.pose_cfg, batched(crops),
+                    steps=steps, lr=qat_lr,
+                    skip_ids=hrnet_skip_ids(pose_bf16),
+                    log=qat_log,
+                )
+            else:
+                det_q = quantize_yolo(det_bf16, self.det_cfg, ximg)
+                pose_q = quantize_hrnet(pose_bf16, self.pose_cfg, crops)
+            return det_q, pose_q
+
+        det_q, pose_q = quantize_both(qat_steps)
+
+        if check_px is not None:
+            report = self._quant_self_check(
+                det_bf16, pose_bf16, det_q, pose_q,
+                ximg, (h, w), crops, eboxes, valid,
             )
+            failed = (report["kps_median_px"] > check_px
+                      or report["box_lost_frac"] > box_lost_gate)
+            msg = ("int8 self-check: keypoint shift median "
+                   f"{report['kps_median_px']:.2f} px / p95 "
+                   f"{report['kps_p95_px']:.2f} px vs bf16 (gate "
+                   f"{check_px} px); boxes lost "
+                   f"{report['box_lost_frac'] * 100:.1f}% (gate "
+                   f"{box_lost_gate * 100:.0f}%)")
+            if failed and on_drift == "escalate" and qat_steps == 0:
+                print(f"{msg} -> FAILED; escalating to label-free "
+                      f"distill-QAT ({escalate_steps} steps, the remedy "
+                      "measured at W48 scale — docs/PERF.md)")
+                det_q, pose_q = quantize_both(escalate_steps)
+                report = self._quant_self_check(
+                    det_bf16, pose_bf16, det_q, pose_q,
+                    ximg, (h, w), crops, eboxes, valid,
+                )
+                failed = (report["kps_median_px"] > check_px
+                          or report["box_lost_frac"] > box_lost_gate)
+                msg = ("int8 self-check after distill-QAT: keypoint "
+                       "shift median "
+                       f"{report['kps_median_px']:.2f} px / p95 "
+                       f"{report['kps_p95_px']:.2f} px; boxes lost "
+                       f"{report['box_lost_frac'] * 100:.1f}%")
+            if failed and on_drift in ("raise", "escalate"):
+                from tpupose.models.quantize import QuantizationDriftError
+
+                raise QuantizationDriftError(
+                    f"{msg} — refusing to serve a provably-drifted int8 "
+                    "model. Remedies: more/representative --int8-calib "
+                    "frames, --qat-steps 900, or on_drift='warn' to "
+                    "override."
+                )
+            print(msg + (" -> FAILED (continuing: on_drift='warn')"
+                         if failed else " -> ok"))
+            self.last_quant_report = report
+
+        self.det_params = det_q
+        self.pose_params = pose_q
+
+    def _quant_self_check(self, det_bf16, pose_bf16, det_q, pose_q,
+                          ximg, hw, crops, eboxes, valid):
+        """Decoded-keypoint + box drift of the quantized trees vs the bf16
+        trees on the calibration inputs. Returns summary stats (floats)."""
+        from tpupose.models.hrnet import hrnet_apply
+
+        def decode(p):
+            heat = hrnet_apply(p, self.pose_cfg, crops)
+            return decode_heatmaps_auto(
+                heat, eboxes, refine=self.pose_cfg.decode_refine
+            )
+
+        kps_ref = decode(pose_bf16)   # (n*k, J, 3)
+        kps_q = decode(pose_q)
+        vmask = np.asarray(valid).reshape(-1)
+        shift = np.linalg.norm(
+            np.asarray(kps_q[..., :2], np.float32)
+            - np.asarray(kps_ref[..., :2], np.float32), axis=-1,
+        )[vmask]
+        if shift.size == 0:
+            # no people in the calibration frames — keypoint drift is
+            # unknowable; report 0 but flag it
+            kps_median = kps_p95 = 0.0
+            print("int8 self-check: WARNING — no detections in the "
+                  "calibration frames; keypoint drift not assessed. "
+                  "Use frames that contain people.")
         else:
-            self.pose_params = quantize_hrnet(
-                self.pose_params, self.pose_cfg, crops
-            )
+            kps_median = float(np.median(shift))
+            kps_p95 = float(np.percentile(shift, 95))
+
+        boxes_ref, _, valid_ref = detect_people(
+            det_bf16, self.det_cfg, ximg, hw
+        )
+        boxes_q, _, valid_q = detect_people(det_q, self.det_cfg, ximg, hw)
+        br = np.asarray(boxes_ref, np.float32)
+        bq = np.asarray(boxes_q, np.float32)
+        vr = np.asarray(valid_ref)
+        vq = np.asarray(valid_q)
+        lost = total = 0
+        for i in range(br.shape[0]):
+            for j in np.flatnonzero(vr[i]):
+                total += 1
+                if not vq[i].any():
+                    lost += 1
+                    continue
+                iou = _box_iou(br[i, j], bq[i][vq[i]])
+                if iou.max() < 0.5:
+                    lost += 1
+        return {
+            "kps_median_px": kps_median,
+            "kps_p95_px": kps_p95,
+            "kps_n": int(shift.size),
+            "box_lost_frac": (lost / total) if total else 0.0,
+            "box_n": total,
+        }
 
     # -- staged API (mirrors PersonDetect / PersonPoseDetect /
     #    PersonTrack_Project3DPose) -------------------------------------------

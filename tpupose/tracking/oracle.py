@@ -71,13 +71,20 @@ class TrackerParams:
     #: Track resurrection (new, no reference counterpart): when > 0, a new
     #: hypothesis spawning near a recently-deleted confirmed track's last
     #: pose reuses that track's id + confirmed status, for up to
-    #: `resurrect_window` frames after the deletion. The gate is mean joint
+    #: `resurrect_window` frames after the deletion; a hypothesis spawning
+    #: near a still-ACTIVE confirmed track is claimed by it instead of
+    #: minting a duplicate id (full kinematic re-seed if the track is stale,
+    #: 2D-store merge if it updated this frame). The gate is mean joint
     #: distance < resurrect_dist + resurrect_speed * (frames since the
     #: track's last update) — a motion budget for the occluded person.
     #: 0 = off.
     resurrect_window: int = 0
-    resurrect_dist: float = 0.3
+    resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06
+    #: Graveyard capacity — mirrors the jit tracker's fixed ring of
+    #: `max_tracks` entries (tracker.py `_bury_tracks`): a new burial evicts
+    #: the entry buried `max_tracks` burials ago, consumed or not.
+    max_tracks: int = 16
 
 
 def believe(pose):
@@ -224,6 +231,11 @@ class OracleTrack:
         self.time_since_update = 0
         self.already_update = False
         self.state = TENTATIVE
+        # Sticky confirmation flag: burial eligibility is the jit tracker's
+        # `deleted & confirmed`, not the hits>=n_init proxy (they differ for
+        # n_init=1, where a just-born tentative track has hits=1 but is not
+        # yet confirmed when deleted).
+        self.was_confirmed = False
         # per-camera latest 2D pose: cid -> (time, pose (J,3))
         self.poses2d = {int(c): (time, np.array(q)) for c, q in zip(cam_ids, poses2d)}
         self.history = [(time, np.array(pose3d, np.float64))]  # chronological
@@ -250,6 +262,7 @@ class OracleTrack:
             self.time_since_update = 0
             if self.state == TENTATIVE and self.hits >= self.p.n_init:
                 self.state = CONFIRMED
+                self.was_confirmed = True
         else:
             self.mark_missed()
 
@@ -348,8 +361,12 @@ class OracleTracker:
         self.next_id = 0
         self.unmatched: dict[int, np.ndarray] = {}
         # Recently-deleted confirmed tracks eligible for resurrection:
-        # dicts of id / pose / vel / time (last-update frame) / del (frame).
+        # dicts of id / pose / time (last-update frame) / del (frame) / seq
+        # (burial counter). Capped at p.max_tracks entries, mirroring the
+        # jit tracker's fixed graveyard ring: burial #n evicts burial
+        # #(n - max_tracks), consumed or not.
         self.graveyard: list[dict] = []
+        self._burials = 0
 
     @staticmethod
     def make_cameras(P, F, rk_inv, center) -> _Cameras:
@@ -403,16 +420,22 @@ class OracleTracker:
 
         if p.resurrect_window > 0:
             for tr in self.tracks:
-                # hits >= n_init <=> the track was CONFIRMED before deletion
-                # (promotion happens the moment hits reaches n_init).
-                if tr.state == DELETED and tr.hits >= p.n_init:
+                # `deleted & confirmed` — same burial condition as the jit.
+                if tr.state == DELETED and tr.was_confirmed:
                     t2d, pose = tr.history[-1]
                     self.graveyard.append({
                         "id": tr.track_id,
                         "pose": np.array(pose),
                         "time": t2d,
                         "del": frame_id,
+                        "seq": self._burials,
                     })
+                    self._burials += 1
+            # Ring-capacity eviction (burial #n overwrites #(n - max_tracks)).
+            self.graveyard = [
+                g for g in self.graveyard
+                if g["seq"] >= self._burials - p.max_tracks
+            ]
 
         self._init_targets(frame_id)
         self.tracks = [t for t in self.tracks if t.state != DELETED]
@@ -452,13 +475,20 @@ class OracleTracker:
                 if di not in handled:
                     H.append(_Hypothesis(cid, det, p.epi_threshold))
 
+        # Rescue candidates: tracks present after the 3D-update phase (the
+        # jit snapshots state before slot allocation), each claimable once
+        # per frame (the jit consumes the track's column in its greedy
+        # hypothesis->track matching).
+        live = list(self.tracks)
+        claimed: set = set()
         for hyp in H:
             if len(hyp.poses) < 2:
                 continue
             ok, pose3d, n_views = self._init_triangulate(hyp)
             if not ok:
                 continue
-            if self._rescue_stale(frame_id, pose3d, n_views, hyp):
+            if self._rescue_stale(frame_id, pose3d, n_views, hyp, live,
+                                  claimed):
                 continue
             revived = self._match_graveyard(frame_id, pose3d)
             if revived is not None:
@@ -467,6 +497,7 @@ class OracleTracker:
                     n_views, p,
                 )
                 tr.state = CONFIRMED
+                tr.was_confirmed = True
                 tr.hits = p.n_init
             else:
                 tr = OracleTrack(
@@ -476,17 +507,22 @@ class OracleTracker:
                 self.next_id += 1
             self.tracks.append(tr)
 
-    def _rescue_stale(self, frame_id, pose3d, n_views, hyp):
-        """A hypothesis landing on a stale ACTIVE confirmed track's motion-
-        predicted pose re-seeds that track instead of spawning a duplicate:
-        identity (id, confirmed, hits) continues, kinematics restart like a
-        birth. Returns True when a track was rescued."""
+    def _rescue_stale(self, frame_id, pose3d, n_views, hyp, live, claimed):
+        """A hypothesis landing near an ACTIVE confirmed track is claimed by
+        that track instead of minting a duplicate id. Stale tracks (missed
+        this frame's association) get a full kinematic re-seed — identity
+        (id, confirmed, hits) continues, kinematics restart like a birth.
+        Fresh tracks (updated this frame; the dominant churn pattern: a
+        duplicate forms from the cameras whose association broke while the
+        rest kept matching) get a soft absorb: only the hypothesis member
+        cameras' 2D poses are merged, so the next update pulls the drifted
+        3D pose back. Returns True when a track claimed the hypothesis."""
         p = self.p
         if p.resurrect_window <= 0:
             return False
         best, best_d = None, np.inf
-        for tr in self.tracks:
-            if tr.state != CONFIRMED or tr.time_since_update < 1:
+        for tr in live:
+            if tr.state != CONFIRMED or id(tr) in claimed:
                 continue
             lt, lp = tr.history[-1]
             d = float(np.mean(np.linalg.norm(pose3d - lp, axis=-1)))
@@ -496,14 +532,16 @@ class OracleTracker:
         if best is None:
             return False
         tr = best
+        claimed.add(id(tr))
         for cid, pose in zip(hyp.cam_ids, hyp.poses):
             tr.poses2d[int(cid)] = (frame_id, np.array(pose))
-        tr.history = [(frame_id, np.array(pose3d, np.float64))]
-        tr.velocity = np.zeros((p.num_joints, 3))
-        tr.hits += 1
-        tr.time_since_update = 0
-        tr.already_update = True
-        tr.last_n_views = np.array(n_views)
+        if tr.time_since_update >= 1:
+            tr.history = [(frame_id, np.array(pose3d, np.float64))]
+            tr.velocity = np.zeros((p.num_joints, 3))
+            tr.hits += 1
+            tr.time_since_update = 0
+            tr.already_update = True
+            tr.last_n_views = np.array(n_views)
         return True
 
     def _match_graveyard(self, frame_id, pose3d):

@@ -87,7 +87,7 @@ class TrackerConfig:
     #: the last pose on curved paths; see tests/test_resurrect.py). 0 = off
     #: (reference parity, the default).
     resurrect_window: int = 0
-    resurrect_dist: float = 0.3
+    resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06  # meters/frame (~1.5 m/s at 25 fps)
 
 
@@ -588,18 +588,30 @@ def _materialize_hypotheses(cfg, cams, state, hyp_pose, hyp_member, hyp_count,
 
 def _rescue_stale_tracks(cfg, state, ok, pose3d, n_views, hyp_pose,
                          hyp_member, frame_id):
-    """Greedy hypothesis -> stale-active-track matching (resurrection).
+    """Greedy hypothesis -> active-confirmed-track matching (resurrection).
 
-    A stale track (confirmed, active, missed this frame's association) whose
-    last pose lies within the motion-budget gate of an ok hypothesis is
-    re-seeded from that hypothesis: identity (id, confirmed, hits) continues,
-    kinematics restart exactly like a track birth (history = [triangulated
-    hypothesis pose], zero velocity, member cameras' 2D poses stamped at
-    `frame_id`). Returns (rescued (MH,) bool, rescue_slot (MH,), new state).
+    An active confirmed track whose last pose lies within the motion-budget
+    gate of an ok hypothesis claims it instead of letting a near-duplicate id
+    spawn. Two regimes (the dominant churn pattern on long streams is a
+    duplicate forming while the original is STILL matched in some cameras —
+    measured in tests/test_resurrect.py):
+
+      * stale track (missed this frame's association, tsu >= 1): full
+        re-seed — identity (id, confirmed, hits) continues, kinematics
+        restart exactly like a track birth (history = [triangulated
+        hypothesis pose], zero velocity, member cameras' 2D poses stamped at
+        `frame_id`).
+      * fresh track (tsu == 0, updated this frame): soft absorb — only the
+        hypothesis member cameras' 2D poses are merged into the track's 2D
+        store (those are exactly the cameras whose association broke), so
+        the next update pulls the drifted 3D pose back; history, velocity
+        and hits are untouched.
+
+    Returns (rescued (MH,) bool, rescue_slot (MH,), new state).
     """
     T, MH = cfg.max_tracks, cfg.max_hyp
     last_pose, last_time = _last_hist(state)
-    stale = state.active & state.confirmed & (state.time_since_update >= 1)
+    eligible = state.active & state.confirmed
     dist = jnp.mean(
         jnp.linalg.norm(pose3d[:, None] - last_pose[None], axis=-1), axis=-1
     )  # (MH, T)
@@ -607,7 +619,7 @@ def _rescue_stale_tracks(cfg, state, ok, pose3d, n_views, hyp_pose,
         frame_id - last_time
     ).astype(jnp.float32)  # (T,)
     dist = jnp.where(
-        ok[:, None] & stale[None, :] & (dist < gate[None, :]), dist, jnp.inf
+        ok[:, None] & eligible[None, :] & (dist < gate[None, :]), dist, jnp.inf
     )
     rescued = jnp.zeros(MH, bool)
     rescue_slot = jnp.zeros(MH, jnp.int32)
@@ -618,7 +630,10 @@ def _rescue_stale_tracks(cfg, state, ok, pose3d, n_views, hyp_pose,
         rescue_slot = rescue_slot.at[h].set(t.astype(jnp.int32))
         dist = jnp.where(hit, dist.at[:, t].set(jnp.inf), dist)
 
+    stale_of_slot = jnp.take(state.time_since_update, rescue_slot) >= 1
     rslot = jnp.where(rescued, rescue_slot, T)  # T -> dropped
+    # Kinematic re-seed only for stale tracks; fresh absorbs keep their state.
+    kslot = jnp.where(rescued & stale_of_slot, rescue_slot, T)
     safe = jnp.clip(rescue_slot, 0, T - 1)
     old2d = jnp.take(state.pose2d, safe, axis=0)        # (MH, C, J, 3)
     old2dt = jnp.take(state.pose2d_time, safe, axis=0)  # (MH, C)
@@ -628,20 +643,20 @@ def _rescue_stale_tracks(cfg, state, ok, pose3d, n_views, hyp_pose,
     st = state._replace(
         pose2d=state.pose2d.at[rslot].set(new2d, mode="drop"),
         pose2d_time=state.pose2d_time.at[rslot].set(new2dt, mode="drop"),
-        hits=state.hits.at[rslot].set(old_hits + 1, mode="drop"),
-        time_since_update=state.time_since_update.at[rslot].set(
+        hits=state.hits.at[kslot].set(old_hits + 1, mode="drop"),
+        time_since_update=state.time_since_update.at[kslot].set(
             0, mode="drop"
         ),
-        already_update=state.already_update.at[rslot].set(True, mode="drop"),
-        hist_pose=state.hist_pose.at[rslot].set(0.0, mode="drop"),
-        hist_time=state.hist_time.at[rslot].set(NEVER, mode="drop"),
-        hist_count=state.hist_count.at[rslot].set(1, mode="drop"),
-        last_n_views=state.last_n_views.at[rslot].set(n_views, mode="drop"),
-        velocity=state.velocity.at[rslot].set(0.0, mode="drop"),
+        already_update=state.already_update.at[kslot].set(True, mode="drop"),
+        hist_pose=state.hist_pose.at[kslot].set(0.0, mode="drop"),
+        hist_time=state.hist_time.at[kslot].set(NEVER, mode="drop"),
+        hist_count=state.hist_count.at[kslot].set(1, mode="drop"),
+        last_n_views=state.last_n_views.at[kslot].set(n_views, mode="drop"),
+        velocity=state.velocity.at[kslot].set(0.0, mode="drop"),
     )
     st = st._replace(
-        hist_pose=st.hist_pose.at[rslot, 0].set(pose3d, mode="drop"),
-        hist_time=st.hist_time.at[rslot, 0].set(frame_id, mode="drop"),
+        hist_pose=st.hist_pose.at[kslot, 0].set(pose3d, mode="drop"),
+        hist_time=st.hist_time.at[kslot, 0].set(frame_id, mode="drop"),
     )
     return rescued, rescue_slot, st
 

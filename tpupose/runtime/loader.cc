@@ -8,6 +8,7 @@
 
 #include <jpeglib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <csetjmp>
@@ -32,9 +33,20 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-// Decode one JPEG file to RGB. Returns false on failure.
-bool decode_jpeg(const std::string& path, std::vector<uint8_t>* out,
-                 int* width, int* height) {
+struct Frame {
+  int64_t index = -1;
+  int width = 0, height = 0;
+  bool ok = false;
+  std::vector<uint8_t> data;  // concatenated views, each w*h*3
+};
+
+// Decode one JPEG straight into its slot of the frame's concatenated
+// buffer (no intermediate per-view vector — the extra ~2.7 MB copy +
+// realloc churn per 720p view measurably cost vs PIL). View 0 learns the
+// frame dimensions and sizes the buffer for all `n_views`; later views
+// must match (the consumer reshapes the buffer as (views, h, w, 3), so a
+// silent mismatch would misalign every later view's pixels).
+bool decode_view(const std::string& path, Frame* fr, int view, int n_views) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -51,26 +63,35 @@ bool decode_jpeg(const std::string& path, std::vector<uint8_t>* out,
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
-  *width = cinfo.output_width;
-  *height = cinfo.output_height;
-  out->resize(static_cast<size_t>(*width) * *height * 3);
-  const int stride = *width * 3;
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if (view == 0) {
+    fr->width = w;
+    fr->height = h;
+    fr->data.resize(static_cast<size_t>(n_views) * w * h * 3);
+  } else if (w != fr->width || h != fr->height) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  const size_t stride = static_cast<size_t>(w) * 3;
+  uint8_t* base = fr->data.data() + static_cast<size_t>(view) * h * stride;
+  // Hand libjpeg a window of row pointers per call instead of one row at
+  // a time (it consumes up to rec_outbuf_height rows per call).
+  JSAMPROW rows[16];
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    const JDIMENSION n =
+        std::min<JDIMENSION>(16, cinfo.output_height - cinfo.output_scanline);
+    for (JDIMENSION i = 0; i < n; ++i) {
+      rows[i] = base + (cinfo.output_scanline + i) * stride;
+    }
+    jpeg_read_scanlines(&cinfo, rows, n);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return true;
 }
-
-struct Frame {
-  int64_t index = -1;
-  int width = 0, height = 0;
-  bool ok = false;
-  std::vector<uint8_t> data;  // concatenated views, each w*h*3
-};
 
 struct Loader {
   std::vector<std::vector<std::string>> frames;  // [frame][view] paths
@@ -104,24 +125,12 @@ struct Loader {
       Frame fr;
       fr.index = idx;
       fr.ok = true;
-      for (const auto& path : frames[idx]) {
-        std::vector<uint8_t> img;
-        int w = 0, h = 0;
-        if (!decode_jpeg(path, &img, &w, &h)) {
-          fr.ok = false;  // missing or corrupt file
+      const int n_views = static_cast<int>(frames[idx].size());
+      for (int v = 0; v < n_views; ++v) {
+        if (!decode_view(frames[idx][v], &fr, v, n_views)) {
+          fr.ok = false;  // missing, corrupt, or dimension-mismatched file
           break;
         }
-        if (fr.data.empty()) {
-          fr.width = w;
-          fr.height = h;
-        } else if (w != fr.width || h != fr.height) {
-          // Views of one frame must share dimensions: the consumer reshapes
-          // the concatenated buffer as (views, h, w, 3); a silent mismatch
-          // would misalign every later view's pixels.
-          fr.ok = false;
-          break;
-        }
-        fr.data.insert(fr.data.end(), img.begin(), img.end());
       }
       std::unique_lock<std::mutex> lock(mu);
       stash.push_back(std::move(fr));

@@ -96,6 +96,34 @@ def test_build_scene_crops_shapes():
     assert crops.std() > 0.005  # blobs actually rendered
 
 
+def test_decode_tree_matches_training_input_distribution():
+    """`decode_tree` must feed crops to the backbone EXACTLY as the
+    training/calibration forwards do (raw [0,1], no ImageNet
+    normalization) — the round-4 chip run proved a silent skew here zeroes
+    the whole PCP chain for every tree (docs/PERF.md round 4). Pinned by
+    equality against the agreement lab's decode formula on the same raw
+    crops (`scripts/int8_w48_agreement.py:207`)."""
+    import jax.numpy as jnp
+
+    from tpupose.eval.e2e import decode_tree
+    from tpupose.models.hrnet import hrnet_apply, hrnet_init
+    from tpupose.ops.heatmap import decode_heatmaps
+
+    cfg = tiny_test_config()
+    scene, crops, eboxes = build_scene_crops(cfg, num_frames=2, num_actors=1)
+    import jax
+
+    params = hrnet_init(jax.random.PRNGKey(0), cfg)
+    got = decode_tree(params, cfg, crops, eboxes, "quarter", batch=4)
+    want = np.asarray(
+        decode_heatmaps(
+            hrnet_apply(params, cfg, jnp.asarray(crops)),
+            jnp.asarray(eboxes), refine="quarter",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def _perfect_kps(scene, score=10.0):
     T, C, A = scene.num_frames, scene.num_cameras, scene.num_actors
     kps = np.concatenate(

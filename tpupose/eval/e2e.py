@@ -98,7 +98,7 @@ def decode_tree(params, cfg, crops, eboxes, refine, batch=16, fetch=None):
     import jax
     import jax.numpy as jnp
 
-    from tpupose.models.hrnet import hrnet_apply, normalize_image
+    from tpupose.models.hrnet import hrnet_apply
     from tpupose.ops.heatmap import decode_heatmaps
 
     fetch = fetch or (lambda fn, *a: np.asarray(fn(*a)))
@@ -109,8 +109,14 @@ def decode_tree(params, cfg, crops, eboxes, refine, batch=16, fetch=None):
 
     @jax.jit
     def run(p, x, eb):
-        x = normalize_image(jnp.asarray(x), value_scale=1.0)
-        heat = hrnet_apply(p, cfg, x)
+        # raw [0,1] crops, NO ImageNet normalization: the blob-trained
+        # models (scripts/int8_w48_agreement.py::learned_w48), their BN
+        # recalibration, and the int8 calibration forwards all consume the
+        # rendered crops as-is — decode must see the same distribution.
+        # (Round-4 chip run with normalize_image here scored PCP 0.00 for
+        # every tree: a train/serve input-distribution skew, not a model
+        # failure. Real-image serving normalizes in the facade instead.)
+        heat = hrnet_apply(p, cfg, jnp.asarray(x))
         return decode_heatmaps(heat, jnp.asarray(eb), refine=refine)
 
     outs = []

@@ -362,14 +362,26 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
     rng = np.random.default_rng(seed)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
+        # held-out VALIDATION batch: never trained on. Progress / early
+        # stop are measured here so the returned model GENERALIZES to
+        # unseen blob positions — round 4's first e2e-PCP chip run showed
+        # the previous fixed-single-batch protocol memorizes it (1.36 px
+        # on the train batch, 125-180 px on fresh scene crops for 3
+        # joints -> legs PCP 0.00; docs/PERF.md round 4).
         imgs, kps = blob_localization_batch(rng, cfg, batch)
-        targets, weights = gaussian_target_heatmaps(cfg, kps)
-        targets = targets * 10.0  # see tests/test_int8_learned_accuracy.py
         params = hrnet_init(jax.random.PRNGKey(seed), cfg)
 
     dev = jax.devices()[0]  # the TPU under axon; CPU elsewhere
+
+    def fresh_batch():
+        with jax.default_device(cpu):
+            im, kp = blob_localization_batch(rng, cfg, batch)
+            tg, wt = gaussian_target_heatmaps(cfg, kp)
+            tg = tg * 10.0  # see tests/test_int8_learned_accuracy.py
+        return jax.device_put((im, tg, wt), dev)
+
     params = jax.device_put(params, dev)
-    imgs, targets, weights = jax.device_put((imgs, targets, weights), dev)
+    imgs = jax.device_put(imgs, dev)
     optimizer = optax.adam(1e-3)
     opt_state = jax.jit(optimizer.init)(params)
     # TRAIN-mode BN is load-bearing at real depth: inference-mode BN either
@@ -380,10 +392,10 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
     step = make_train_step(cfg, optimizer, compute_dtype=jnp.float32,
                            train_bn=True)
 
-    def train_block(p, o):
+    def train_block(p, o, b_imgs, b_targets, b_weights):
         def body(carry, _):
             p, o = carry
-            p, o, loss = step(p, o, imgs, targets, weights)
+            p, o, loss = step(p, o, b_imgs, b_targets, b_weights)
             return (p, o), loss
 
         (p, o), losses = jax.lax.scan(body, (p, o), None, length=block)
@@ -420,11 +432,14 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
           file=sys.stderr, flush=True)
     done = 0
     while done < steps:
-        params, opt_state, loss = train_block_j(params, opt_state)
+        # fresh blob positions every block; the err below is on the
+        # held-out val batch, so early stop certifies generalization
+        params, opt_state, loss = train_block_j(params, opt_state,
+                                                *fresh_batch())
         done += block
         err = float(np.mean(_decode_err(kps, np.asarray(dec_train_j(params)))))
-        print(f"  step {done}: loss={float(loss):.5f} decoded-err={err:.2f}px",
-              file=sys.stderr, flush=True)
+        print(f"  step {done}: loss={float(loss):.5f} "
+              f"val-decoded-err={err:.2f}px", file=sys.stderr, flush=True)
         if err < target_px:
             break
 

@@ -26,12 +26,24 @@ it (machinery in `tpupose/eval/e2e.py`, pinned at tiny scale by
      the full jitted tracker (`track_clip`), harvest per-frame 3D poses,
      and score PCP against the scene GT exactly like the reference.
 
-Exit 0 iff, in BOTH decode modes, |PCP(bf16) - PCP(distill int8)| <= 1.0
-PCP point. The PTQ row is informational (expected: collapse).
+Exit 0 iff (a) the bf16 BASELINE is near-saturated — average PCP >=
+--min-baseline (default 95; the noise-free tiny-scale chain scores >= 99
+in tests/test_int8_e2e_pcp.py) AND every bone group scores > 0 — and (b)
+in BOTH decode modes, |PCP(bf16) - PCP(distill int8)| <= --gate (default
+1.0) PCP points. The baseline check exists because round 4's first chip
+run showed the gate cannot resolve anything at a broken operating point:
+a memorizing proxy model scored bf16 47.57 with leg bones 0.00, and int8
+landed +3.0 ABOVE bf16 (VERDICT r4 weak #2). The PTQ row is
+informational (expected: collapse).
+
+--seed varies the TRAINING run only (the scene is fixed), so two runs
+with different seeds measure the bf16 run-to-run scatter that justifies
+the gate width (VERDICT r4 next-round #7).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_e2e_pcp.py \
          [--w32] [--load bundle.npz | --save bundle.npz] [--frames 40] \
-         [--qat-steps 900] [--calib 32]
+         [--qat-steps 900] [--calib 32] [--seed 0] [--min-baseline 95] \
+         [--gate 1.0]
 """
 import os
 import sys
@@ -89,6 +101,7 @@ def main():
         folded, _imgs, _kps, _ = learned_w48(
             steps=int(_argval("--train-steps", 4000)),
             block=int(_argval("--train-block", 200)), cfg=cfg,
+            seed=int(_argval("--seed", 0)),
         )
         if cfg is None:
             from tpupose.models.hrnet import hrnet_w48_config
@@ -119,6 +132,8 @@ def main():
                                file=sys.stderr, flush=True),
     )
 
+    min_baseline = float(_argval("--min-baseline", 95.0))
+    gate = float(_argval("--gate", 1.0))
     ok = True
     for refine in ("quarter", "parabolic"):
         pcps = {}
@@ -130,6 +145,25 @@ def main():
             print(f"[decode={refine}] {name}: PCP {pcps[name]:.2f}")
             if name == "bf16":
                 print(res["table"])
+                # Baseline-saturation gate (VERDICT r4 weak #2): at round
+                # 4's broken operating point (memorizing proxy, bf16 47.57,
+                # legs 0.00) the |delta|<=1.0 assertion could not resolve
+                # anything — int8 scored +3.0 ABOVE bf16. The +-gate claim
+                # is only meaningful against a near-saturated baseline with
+                # every bone group alive.
+                k = min(2, len(res["person_wise"]))
+                dead = [
+                    g for g, vals in res["bone_person_wise"].items()
+                    if not np.nansum(vals[:k]) / k > 0.0
+                ]
+                if pcps["bf16"] < min_baseline or dead:
+                    print(
+                        f"[decode={refine}] BASELINE NOT SATURATED: bf16 "
+                        f"{pcps['bf16']:.2f} < {min_baseline:.1f} or dead "
+                        f"bone groups {dead} — the int8 delta gate cannot "
+                        "resolve at this operating point", flush=True,
+                    )
+                    ok = False
         delta = pcps["int8-distill"] - pcps["bf16"]
         print(
             f"[decode={refine}] END-TO-END PCP: bf16 {pcps['bf16']:.2f}  "
@@ -137,7 +171,7 @@ def main():
             f" int8-ptq {pcps['int8-ptq']:.2f} (negative control)",
             flush=True,
         )
-        if abs(delta) > 1.0:
+        if abs(delta) > gate:
             ok = False
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -108,10 +108,12 @@ def main(argv=None):
                              "frames — the bundle then IS the documented "
                              "int8 serving configuration and serving needs "
                              "no calibration pass at all")
-    parser.add_argument("--int8-calib", type=int, default=1,
+    parser.add_argument("--int8-calib", type=int, default=8,
                         help="number of leading dataset frames whose views "
                              "feed the --int8 calibration pass (same frames "
-                             "evalmodel --int8 --int8-calib would use)")
+                             "evalmodel --int8 --int8-calib would use; "
+                             "default 8 — see scripts/calib_size_drift.py; "
+                             "<8 prints a warning)")
     parser.add_argument("--qat-steps", type=int, default=0,
                         help="with --int8: label-free QAT — fine-tune each "
                              "backbone for N straight-through steps against "
@@ -182,6 +184,8 @@ def main(argv=None):
         pipe = build_pipeline_real(
             cfg, camera_parameter, images0.shape[2], images0.shape[1]
         )
+        print(f"--int8: calibrating + self-checking on frames "
+              f"{[int(item[0]) for item in head]}")
         pipe.quantize_models(
             np.concatenate([item[2] for item in head], axis=0),
             qat_steps=args.qat_steps,

@@ -51,9 +51,14 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode: post-training-quantize the "
                              "backbones (tpupose.models.quantize)")
-    parser.add_argument("--int8-calib", type=int, default=1,
+    parser.add_argument("--int8-calib", type=int, default=8,
                         help="number of leading frames whose views feed the "
-                             "--int8 activation-scale calibration pass")
+                             "--int8 activation-scale calibration pass AND "
+                             "the post-quantize drift self-check (default 8: "
+                             "calibrating + checking on a single frame can "
+                             "pass on an unrepresentative sample — "
+                             "scripts/calib_size_drift.py measures drift vs "
+                             "set size; <8 prints a warning)")
     parser.add_argument("--qat-steps", type=int, default=0,
                         help="with --int8: label-free QAT — fine-tune each "
                              "backbone for N straight-through steps to match "
@@ -133,6 +138,8 @@ def main(argv=None):
                     head.append(next(source))
                 except StopIteration:
                     break
+            print(f"--int8: calibrating + self-checking on frames "
+                  f"{[int(item[0]) for item in head]}")
             pipe.quantize_models(
                 np.concatenate([item[2] for item in head], axis=0),
                 qat_steps=args.qat_steps,

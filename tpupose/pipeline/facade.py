@@ -36,6 +36,11 @@ from tpupose.tracking.tracker import (
     tracker_step,
 )
 
+# Fewest sample frames for which int8 activation-scale calibration and the
+# drift self-check are trusted without a warning (scripts/calib_size_drift.py
+# measures drift vs calibration-set size on the learned W48).
+MIN_CALIB_SAMPLES = 8
+
 
 def _clip_detections(det_cfg, pose_cfg, tcfg, det_params, pose_params, images):
     """Batched detect -> crop -> pose -> decode for N images, padded to the
@@ -216,6 +221,19 @@ class Pipeline:
         det_bf16, pose_bf16 = self.det_params, self.pose_params
         x = jnp.asarray(sample_images)
         n, h, w, _ = x.shape
+        if n < MIN_CALIB_SAMPLES:
+            # Measured on the learned W48 (scripts/calib_size_drift.py):
+            # scales calibrated on 1 frame's crops drift materially more
+            # on held-out crops than the self-check (which runs on those
+            # same calibration crops) reports — the check can pass on its
+            # own blind spot. 8+ frames close the gap.
+            print(
+                f"WARNING: int8 calibration + self-check running on only "
+                f"{n} sample frame(s) (< {MIN_CALIB_SAMPLES}); the "
+                "activation scales AND the drift check may not represent "
+                "the deployment scenes — pass more frames "
+                "(--int8-calib >= 8)"
+            )
         # calibrate on the SAME bf16 preprocessing the fused programs run
         xf = x.astype(jnp.bfloat16) / 255.0
         ximg = _prep(self.det_cfg, xf)
@@ -267,7 +285,8 @@ class Pipeline:
                    f"{report['kps_p95_px']:.2f} px vs bf16 (gate "
                    f"{check_px} px); boxes lost "
                    f"{report['box_lost_frac'] * 100:.1f}% (gate "
-                   f"{box_lost_gate * 100:.0f}%)")
+                   f"{box_lost_gate * 100:.0f}%) "
+                   f"[checked on {n} frames / {crops.shape[0]} crops]")
             if failed and on_drift == "escalate" and qat_steps == 0:
                 print(f"{msg} -> FAILED; escalating to label-free "
                       f"distill-QAT ({escalate_steps} steps, the remedy "

@@ -424,7 +424,7 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
 
     dec_train_j = jax.jit(dec_train_fn)
 
-    base_err = float(np.mean(_decode_err(kps, np.asarray(dec_train_j(params)))))
+    base_err = float(np.mean(_decode_err(kps, _fetch(dec_train_j, params))))
     print(f"untrained decode error (baseline): {base_err:.2f}px",
           file=sys.stderr, flush=True)
     print(f"training W48 on-chip ({steps} steps max, {block}-step scanned "
@@ -437,7 +437,7 @@ def learned_w48(steps=4000, block=200, batch=8, seed=0, target_px=2.5,
         params, opt_state, loss = train_block_j(params, opt_state,
                                                 *fresh_batch())
         done += block
-        err = float(np.mean(_decode_err(kps, np.asarray(dec_train_j(params)))))
+        err = float(np.mean(_decode_err(kps, _fetch(dec_train_j, params))))
         print(f"  step {done}: loss={float(loss):.5f} "
               f"val-decoded-err={err:.2f}px", file=sys.stderr, flush=True)
         if err < target_px:

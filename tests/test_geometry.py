@@ -124,6 +124,29 @@ def test_time_weights_bias_toward_recent_views(rig):
     assert err_a < 0.05 and err_b > 0.3
 
 
+def test_stale_view_depth_survives_f32(rig):
+    """Regression: one fresh view + one stale view (dt=2, time weight
+    e^-10 = 4.5e-5). The stale rows enter the NORMAL matrix at ~2e-9 of
+    the fresh rows — below f32 rounding — so before the relative weight
+    floor (TIME_WEIGHT_REL_FLOOR) the f32 solve returned an arbitrary
+    point on the fresh view's ray: measured 9.2 m error where f64 SVD
+    gets 6 mm, and the f64 oracle tracker minted ~half the jit's ids on
+    1,000-frame soaks purely from this (docs/PERF.md round 5)."""
+    rng = np.random.default_rng(11)
+    pts3d = random_skeletons(rng, n_people=1)[0]
+    poses = np.stack(
+        [project_np(np.asarray(rig.P[c]), pts3d) for c in range(2)]
+    )
+    poses += rng.normal(0.0, 1.0, poses.shape)  # 1 px observation noise
+    weights = jnp.exp(-5.0 * jnp.asarray([2.0, 0.0]))  # stale, fresh
+    keep = jnp.ones((2, 17), bool)
+    rec, n_views = triangulate_joints(rig.P[:2], jnp.asarray(poses),
+                                      weights, keep)
+    err = np.linalg.norm(np.asarray(rec) - pts3d, axis=-1)
+    assert err.max() < 0.08, err  # was ~9 m without the floor
+    assert np.all(np.asarray(n_views) == 2)
+
+
 def test_pairwise_triangulation(rig):
     rng = np.random.default_rng(7)
     pts3d = random_skeletons(rng, n_people=1)[0]

@@ -90,15 +90,17 @@ def test_soak_1000_frames_continuous_stream():
             f"frame {end}: {n_active} live slots vs {len(oracle.tracks)} "
             "oracle tracks"
         )
-        # 2. id minting bounded by real births: every near-tie flip costs at
-        #    most one extra delete + re-birth cycle. Measured per-checkpoint
-        #    jit-minus-oracle diffs on this stream: 1,1,3,5,5,6,8,8,8,8 —
-        #    the band is the measured maximum, far from the per-frame-churn
-        #    failure mode. (Track resurrection, default-off for reference
-        #    parity, cuts the jit count 22 -> 19 at w=25/d=0.5 — see
-        #    tests/test_resurrect.py and docs/API.md for the measured
-        #    trade-off.)
-        assert abs(next_id - oracle.next_id) <= 8, (
+        # 2. id minting matches the f64 oracle. Rounds 2-4 ran with a band
+        #    of 8 (measured per-checkpoint jit-minus-oracle diffs
+        #    1,1,3,5,5,6,8,8,8,8); round 5 found the cause — stale-view
+        #    time weights vanishing below f32 rounding in the
+        #    triangulation normal matrix, producing 10-30 m poses that
+        #    killed re-association (TIME_WEIGHT_REL_FLOOR,
+        #    geometry/triangulation.py) — after which jit and oracle mint
+        #    IDENTICAL id counts at every checkpoint of this stream
+        #    (scripts/tie_churn_sweep.py). Band 2 = headroom for residual
+        #    f32 near-ties, not an observed diff.
+        assert abs(next_id - oracle.next_id) <= 2, (
             f"frame {end}: next_id {next_id} vs oracle {oracle.next_id}"
         )
         # 3. History pruning stable: counts within capacity, poses finite.

@@ -99,6 +99,9 @@ class MatcherConfig:
     resurrect_window: int = 0
     resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06
+    # Deterministic near-tie association bias (new — YAML key TIE_EPS;
+    # 0 disables). See tracker.TrackerConfig.tie_eps.
+    tie_eps: float = 3e-3
 
 
 @dataclasses.dataclass
@@ -228,6 +231,7 @@ def load_config(path: str) -> Config:
         resurrect_window=int(mm.get("RESURRECT_WINDOW", 0)),
         resurrect_dist=float(mm.get("RESURRECT_DIST", 0.5)),
         resurrect_speed=float(mm.get("RESURRECT_SPEED", 0.06)),
+        tie_eps=float(mm.get("TIE_EPS", 3e-3)),
     )
 
     return Config(
@@ -267,6 +271,7 @@ def tracker_config_from(cfg: Config, num_cameras: int, **overrides):
         resurrect_window=m.resurrect_window,
         resurrect_dist=m.resurrect_dist,
         resurrect_speed=m.resurrect_speed,
+        tie_eps=m.tie_eps,
     )
     kw.update(overrides)
     return TrackerConfig(**kw)

@@ -20,6 +20,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+#: Relative floor on the per-view time weights inside `triangulate_joints`
+#: (documented deviation from the raw reference weighting). The reference
+#: weights each view's DLT rows by exp(-lambda_t * T_v) with lambda_t = 5,
+#: i.e. a view 2 frames stale enters at 4.5e-5 of the fresh view — and at
+#: (4.5e-5)^2 ~ 2e-9 of it in the NORMAL matrix this kernel solves. That is
+#: below f32 rounding of the O(1) fresh-view entries, so whenever the stale
+#: view is the only depth anchor (2 kept views, one stale — a routine
+#: occlusion pattern), the f32 normal matrix is numerically rank-2 with a
+#: 2-D null space and the solve returns an arbitrary point on the fresh
+#: view's ray (measured: 9.2 m off on a 1-px-noise scene where f64 SVD gets
+#: 6 mm; the f64 oracle tracker mints ~half the jit's track ids on
+#: 1,000-frame soaks purely from this). Flooring each view's weight at
+#: 1e-2 x (max kept weight per joint) keeps every kept view >= 1e-4 of the
+#: fresh view in the normal matrix — 3 orders above f32 noise — while
+#: shifting the mathematical optimum by only O(floor^2): measured 1.7e-7 m
+#: against the unfloored f64 solution. The oracle applies the same floor
+#: (`tracking/oracle.py::triangulate`) so spec and jit stay in lockstep.
+TIME_WEIGHT_REL_FLOOR = 1e-2
+
 
 def dlt_design_rows(P, poses_xy, weights):
     """Per-view, per-joint normalized + weighted DLT row pairs.
@@ -174,8 +193,15 @@ def triangulate_joints(P, poses_xy, view_weights, keep_mask, fallback=None,
       pose3d: (J, 3)
       n_views: (J,) int32 number of kept views per joint.
     """
-    rows = dlt_design_rows(P, poses_xy[..., :2], view_weights)  # (V, J, 2, 4)
-    rows = rows * keep_mask[:, :, None, None]
+    rows = dlt_design_rows(
+        P, poses_xy[..., :2], jnp.ones_like(view_weights)
+    )  # (V, J, 2, 4) normalized, unweighted
+    # Per-joint relative weight floor (see TIME_WEIGHT_REL_FLOOR): without
+    # it, stale-view rows vanish below f32 rounding in the normal matrix.
+    w = view_weights[:, None] * keep_mask  # (V, J)
+    wmax = jnp.max(w, axis=0, keepdims=True)
+    w = jnp.maximum(w, wmax * TIME_WEIGHT_REL_FLOOR) * keep_mask
+    rows = rows * w[:, :, None, None]
     # Normal matrix per joint: sum over views and the 2 rows.
     M = jnp.einsum("vjra,vjrb->jab", rows, rows, precision="highest")  # (J, 4, 4)
     X = _smallest_eigvec_4x4(M)  # (J, 4)

@@ -81,6 +81,9 @@ class TrackerParams:
     resurrect_window: int = 0
     resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06
+    #: Deterministic near-tie association bias (mirror of
+    #: TrackerConfig.tie_eps — see tracker.py for the full rationale).
+    tie_eps: float = 3e-3
     #: Graveyard capacity — mirrors the jit tracker's fixed ring of
     #: `max_tracks` entries (tracker.py `_bury_tracks`): a new burial evicts
     #: the entry buried `max_tracks` burials ago, consumed or not.
@@ -208,11 +211,18 @@ def triangulate(cams: _Cameras, cam_ids, Ts, poses, lambda_t, keep_mask,
         if len(kept) < 2:
             pose3d[j] = fallback[j] if fallback is not None else 0.0
             continue
+        # Relative weight floor, identical to the jit kernel (see
+        # `geometry/triangulation.py::TIME_WEIGHT_REL_FLOOR`): the spec
+        # mirrors the floored weighting so jit and oracle stay in
+        # lockstep (the floor moves the optimum by only O(floor^2)).
+        from tpupose.geometry.triangulation import TIME_WEIGHT_REL_FLOOR
+
+        ws = np.exp(-lambda_t * np.asarray(Ts, np.float64)[kept])
+        ws = np.maximum(ws, ws.max() * TIME_WEIGHT_REL_FLOOR)
         rows = []
-        for v in kept:
+        for v, w in zip(kept, ws):
             P = cams.P[cam_ids[v]]
             x, y = poses[v, j, 0], poses[v, j, 1]
-            w = np.exp(-lambda_t * Ts[v])
             for r in (x * P[2] - P[0], y * P[2] - P[1]):
                 rows.append(w * r / np.linalg.norm(r))
         A = np.stack(rows)
@@ -402,7 +412,24 @@ class OracleTracker:
                 aff[n_pos <= p.joint_gate] = 0.0
                 aff = aff / np.exp(p.lambda_a * dt[:, :, 0])
                 aff[np.isnan(aff)] = 0.0
-                rows, cols = linear_sum_assignment(-aff)
+                if p.tie_eps > 0.0:
+                    # deterministic near-tie resolution, identical to the
+                    # jit (_associate): golden-ratio hash of the track id
+                    # x smooth position key of the detection; acceptance
+                    # below still uses the unbiased affinity
+                    fid = np.array(
+                        [(tr.track_id * 0.6180339887498949) % 1.0
+                         for tr in self.tracks]
+                    )
+                    g = (dets[:, :, 0].mean(axis=1) * 1e-3
+                         + dets[:, :, 1].mean(axis=1) * 1.3e-3)
+                    aff_sel = np.where(
+                        aff > 0, aff + p.tie_eps * fid[:, None] * g[None, :],
+                        aff,
+                    )
+                else:
+                    aff_sel = aff
+                rows, cols = linear_sum_assignment(-aff_sel)
                 handled = set()
                 for ti, pi in zip(rows, cols):
                     if aff[ti, pi] > 0:
@@ -463,7 +490,22 @@ class OracleTracker:
             for hi, hyp in enumerate(H):
                 for di, det in enumerate(dets):
                     C[hi, di], veto[hi, di] = hyp.cost(self.cams, cid, det)
-            rows, cols = linear_sum_assignment(C)
+            if p.tie_eps > 0.0:
+                # deterministic near-tie resolution, identical to the jit
+                # (_init_targets): geometric position keys; veto below
+                # still reads the unbiased costs
+                h_key = np.array([
+                    np.mean([(po[:, 0] * 1e-3 + po[:, 1] * 1.3e-3).mean()
+                             for po in hyp.poses])
+                    for hyp in H
+                ])
+                g_key = np.array([
+                    (d[:, 0] * 1e-3 + d[:, 1] * 1.3e-3).mean() for d in dets
+                ])
+                C_sel = C + p.tie_eps * h_key[:, None] * g_key[None, :]
+            else:
+                C_sel = C
+            rows, cols = linear_sum_assignment(C_sel)
             handled = set()
             for hi, di in zip(rows, cols):
                 handled.add(di)

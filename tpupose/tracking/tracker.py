@@ -89,6 +89,25 @@ class TrackerConfig:
     resurrect_window: int = 0
     resurrect_dist: float = 0.5
     resurrect_speed: float = 0.06  # meters/frame (~1.5 m/s at 25 fps)
+    #: Deterministic near-tie association resolution (new, documented
+    #: deviation): when > 0, each (track, detection) pair with positive
+    #: affinity gets a bias of tie_eps * hash(track_id) * g(det position)
+    #: added BEFORE the assignment solve (acceptance still uses the
+    #: unbiased affinity). Without it, competing pairs whose affinities
+    #: differ by less than f32 rounding noise (~1e-6 at the affinity
+    #: scale) are resolved by that noise — randomly per frame — and each
+    #: flip can cost a missed update and eventually a delete + re-birth
+    #: (measured: the jit mints 2-3x the f64 oracle's ids on 1,000-frame
+    #: streams, docs/API.md). The bias is keyed on the persistent track
+    #: id and the detection's image position (stable across frames and
+    #: detection-order shuffles), so near-ties resolve the same way every
+    #: frame. At the default 3e-3 the bias can only override affinity
+    #: differences below ~7e-3 — genuinely ambiguous pairs (association
+    #: affinities live in [0, 1]). Measured on the 1,000-frame soak
+    #: (scripts/tie_churn_sweep.py): id-switches 14 -> 12, MOTA +0.002,
+    #: identical minted ids, with the f64 oracle (same bias) in lockstep.
+    #: 0 = off. YAML key TIE_EPS.
+    tie_eps: float = 3e-3
 
 
 class TrackerState(NamedTuple):
@@ -175,6 +194,12 @@ def _associate(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
     unmatched (C, D) bool)."""
     tracks_pose, last_time = _last_hist(state)
     dt = jnp.where(state.active, frame_id - last_time, 1).astype(jnp.float32)
+    # Golden-ratio hash of the persistent id: well-separated in [0, 1),
+    # identical in the f64 oracle (oracle.py association) so both resolve
+    # near-ties the same way. See TrackerConfig.tie_eps.
+    tie_fid = jnp.mod(
+        state.track_id.astype(jnp.float32) * 0.6180339887498949, 1.0
+    )
 
     def per_cam(P_c, dets_c, mask_c):
         reproj = project_points(P_c, tracks_pose)  # (T, J, 2)
@@ -187,7 +212,16 @@ def _associate(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
         aff = jnp.sum(jnp.where(pos, scores, 0.0), axis=-1) / jnp.maximum(npos, 1)
         aff = jnp.where(npos > cfg.joint_gate, aff, 0.0)
         aff = aff / jnp.exp(cfg.lambda_a * dt[:, None])
-        col = masked_lap(aff, state.active, mask_c, maximize=True)
+        if cfg.tie_eps > 0.0:
+            # position key: smooth in time, invariant to detection-order
+            # shuffling; unwrapped (no frac) so it never jumps
+            g = (jnp.mean(dets_c[:, :, 0], axis=-1) * 1e-3
+                 + jnp.mean(dets_c[:, :, 1], axis=-1) * 1.3e-3)  # (D,)
+            bias = cfg.tie_eps * tie_fid[:, None] * g[None, :]
+            aff_sel = jnp.where(aff > 0, aff + bias, aff)
+        else:
+            aff_sel = aff
+        col = masked_lap(aff_sel, state.active, mask_c, maximize=True)
         got = jnp.take_along_axis(
             aff, jnp.clip(col, 0, cfg.max_dets - 1)[:, None], axis=1
         )[:, 0]
@@ -447,7 +481,25 @@ def _init_targets(cfg: TrackerConfig, cams: CameraSet, state: TrackerState,
             cost, veto = _hypothesis_costs(
                 cfg, cams, hyp_pose, hyp_member, c, dets_c, bel_c
             )
-            col = masked_lap(cost, hyp_valid, mask_c)  # (MH,) det idx or -1
+            if cfg.tie_eps > 0.0:
+                # Deterministic near-tie resolution, same scheme as
+                # _associate but keyed on geometry only (hypotheses have
+                # no persistent id): smooth position keys of the
+                # hypothesis's member poses and of the detection. The
+                # veto below still reads the unbiased costs.
+                key = hyp_pose[..., 0] * 1e-3 + hyp_pose[..., 1] * 1.3e-3
+                nm = jnp.maximum(jnp.sum(hyp_member, axis=1), 1)
+                h_key = (
+                    jnp.sum(jnp.where(hyp_member[:, :, None], key, 0.0),
+                            axis=(1, 2)) / (nm * J)
+                )  # (MH,)
+                g_key = jnp.mean(
+                    dets_c[:, :, 0] * 1e-3 + dets_c[:, :, 1] * 1.3e-3, axis=-1
+                )  # (D,)
+                cost_sel = cost + cfg.tie_eps * h_key[:, None] * g_key[None, :]
+            else:
+                cost_sel = cost
+            col = masked_lap(cost_sel, hyp_valid, mask_c)  # (MH,) det idx or -1
             got_veto = jnp.take_along_axis(
                 veto, jnp.clip(col, 0)[:, None], axis=1
             )[:, 0]

@@ -38,7 +38,10 @@ informational (expected: collapse).
 
 --seed varies the TRAINING run only (the scene is fixed), so two runs
 with different seeds measure the bf16 run-to-run scatter that justifies
-the gate width (VERDICT r4 next-round #7).
+the gate width (VERDICT r4 next-round #7). --bf16-only skips both
+quantized trees (and the int8 delta gate) for exactly that scatter
+measurement — the second seed's run needs only the bf16 PCP, not
+another 900-step distill-QAT.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_e2e_pcp.py \
          [--w32] [--load bundle.npz | --save bundle.npz] [--frames 40] \
@@ -118,27 +121,31 @@ def main():
           "2 actors) ...", file=sys.stderr, flush=True)
     scene, crops, eboxes = build_scene_crops(cfg, num_frames=frames)
 
-    calib = crops[:n_calib]
-    print("quantizing: plain PTQ (negative control) ...", file=sys.stderr,
-          flush=True)
-    ptq = quantize_hrnet(folded, cfg, jnp.asarray(calib))
-    print(f"quantizing: distill-QAT {qat_steps} steps (the shipped "
-          "escalation remedy) ...", file=sys.stderr, flush=True)
-    batches = [jnp.asarray(calib[i:i + 4]) for i in range(0, n_calib, 4)]
-    dq = distill_qat(
-        lambda p, b: hrnet_apply(p, cfg, b), folded, cfg, batches,
-        steps=qat_steps, lr=1e-5, skip_ids=hrnet_skip_ids(folded),
-        log=lambda i, l: print(f"  distill step {i}: loss={l:.6f}",
-                               file=sys.stderr, flush=True),
-    )
+    bf16_only = "--bf16-only" in sys.argv
+    if bf16_only:
+        trees = (("bf16", folded),)
+    else:
+        calib = crops[:n_calib]
+        print("quantizing: plain PTQ (negative control) ...",
+              file=sys.stderr, flush=True)
+        ptq = quantize_hrnet(folded, cfg, jnp.asarray(calib))
+        print(f"quantizing: distill-QAT {qat_steps} steps (the shipped "
+              "escalation remedy) ...", file=sys.stderr, flush=True)
+        batches = [jnp.asarray(calib[i:i + 4]) for i in range(0, n_calib, 4)]
+        dq = distill_qat(
+            lambda p, b: hrnet_apply(p, cfg, b), folded, cfg, batches,
+            steps=qat_steps, lr=1e-5, skip_ids=hrnet_skip_ids(folded),
+            log=lambda i, l: print(f"  distill step {i}: loss={l:.6f}",
+                                   file=sys.stderr, flush=True),
+        )
+        trees = (("bf16", folded), ("int8-distill", dq), ("int8-ptq", ptq))
 
     min_baseline = float(_argval("--min-baseline", 95.0))
     gate = float(_argval("--gate", 1.0))
     ok = True
     for refine in ("quarter", "parabolic"):
         pcps = {}
-        for name, tree in (("bf16", folded), ("int8-distill", dq),
-                           ("int8-ptq", ptq)):
+        for name, tree in trees:
             kps = decode_tree(tree, cfg, crops, eboxes, refine, fetch=_fetch)
             res = pcp_through_tracker(scene, kps)
             pcps[name] = res["average"] * 100
@@ -164,6 +171,10 @@ def main():
                         "resolve at this operating point", flush=True,
                     )
                     ok = False
+        if bf16_only:
+            print(f"[decode={refine}] END-TO-END PCP: bf16 "
+                  f"{pcps['bf16']:.2f} (bf16-only scatter run)", flush=True)
+            continue
         delta = pcps["int8-distill"] - pcps["bf16"]
         print(
             f"[decode={refine}] END-TO-END PCP: bf16 {pcps['bf16']:.2f}  "

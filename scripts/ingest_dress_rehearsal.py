@@ -1,0 +1,151 @@
+"""Full-image-scale disk->PCP dress rehearsal (VERDICT r4 next-round #6).
+
+Round 4 measured the two halves of the host ingest story separately
+(`scripts/bench_ingest.py`: C++ FrameLoader decode rate; bench.py: device
+throughput on resident frames) but never the SEAM: does the decode-ahead
+pool actually hide full-size JPEG decode behind device dispatch inside the
+real CLI? This script closes that seam end-to-end:
+
+  1. fabricate a photo-noise 720p JPEG dataset (5 cameras, realistic file
+     entropy — `tpupose/data/fabricate.py` with photo_noise/jpeg_quality)
+     plus tiny real-format weights;
+  2. measure the SERIAL decode cost of those exact files (PIL loop and
+     C++ FrameLoader max-rate drain, `runtime/ingest_bench.bench_decode`);
+  3. run the real eval CLI over the dataset (glob -> natural sort -> C++
+     FrameLoader decode-ahead pool -> device prefetch -> YOLO+HRNet ->
+     clip tracker -> pkl -> PCP table). Since this round the CLI's stage
+     timer records `decode_wait`: the host-thread time BLOCKED waiting for
+     the next decoded frame;
+  4. assert overlap: decode_wait per frame <= --max-wait-frac (default
+     0.5) x the serial per-frame decode cost. If the pool were serial the
+     wait would equal the full decode cost; overlapped, the workers decode
+     frame k+1..k+4 while the host thread dispatches frame k.
+
+The tiny random weights make the PCP VALUES meaningless (no trained
+checkpoints exist in this environment — the accuracy contract is covered by
+`scripts/int8_e2e_pcp.py` at crop scale); the evidence here is that the
+table is produced at all from full-size disk frames with no serial decode
+stall. Matches the reference's untimed serial decode inside its eval loop
+(`src/dataset.py:36-45`, `src/evalmodel.py:65-118`).
+
+CI-tiny variant: tests/test_ingest_rehearsal.py (fewer frames, assertion on
+stage presence + chain completion only — 1-core CI timing is not stable).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site \
+       python scripts/ingest_dress_rehearsal.py [--frames 48] [--clip 8] \
+         [--max-wait-frac 0.5] [--keep DIR]
+"""
+import contextlib
+import io
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+
+def _argval(flag, default=None):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def run(frames=48, clip=8, max_wait_frac=0.5, root=None, num_cameras=5,
+        verbose=True):
+    """Returns a result dict; raises AssertionError on a failed overlap
+    gate. Importable so the CI-tiny test drives the same chain."""
+    from tpupose.data.fabricate import fabricate_mini_dataset
+    from tpupose.data.synthetic import make_scene
+    from tpupose.runtime.ingest_bench import bench_decode
+    from tpupose.runtime.native import available
+
+    owned = root is None
+    root = root or tempfile.mkdtemp(prefix="ingest_rehearsal_")
+    try:
+        scene = make_scene(num_frames=frames, num_cameras=num_cameras,
+                           num_actors=2, noise_px=0.0, drop_prob=0.0, seed=3)
+        _, paths = fabricate_mini_dataset(
+            root, scene=scene, with_weights=True,
+            photo_noise=20, jpeg_quality=90,
+        )
+        cam_dirs = sorted(
+            d for d in os.listdir(root) if d.startswith("Camera")
+        )
+        frame_paths = [
+            [os.path.join(root, d, f"campus4-c{c}-{t}.jpg")
+             for c, d in enumerate(cam_dirs)]
+            for t in range(frames)
+        ]
+        sz = sum(os.path.getsize(p) for p in frame_paths[0])
+        if verbose:
+            print(f"dataset: {frames} frames x {num_cameras} cams @ "
+                  f"{scene.width}x{scene.height}, "
+                  f"{sz / 1024:.0f} KB/multi-view frame", file=sys.stderr)
+
+        assert available(), "C++ runtime unavailable (make -C tpupose/runtime)"
+        rates = bench_decode(frame_paths, threads_list=(1, 2))
+        serial_imgs_s = rates["pil"]
+        serial_s_per_frame = num_cameras / serial_imgs_s
+        if verbose:
+            print(f"serial decode: PIL {serial_imgs_s:.1f} imgs/s "
+                  f"({serial_s_per_frame * 1e3:.1f} ms/multi-view frame); "
+                  f"native drain {rates['native']}", file=sys.stderr)
+
+        from tpupose.cli import evalmodel
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            evalmodel.main([
+                "--dataset", "MiniCampus",
+                "--config-dir", paths["config_dir"],
+                "--clip", str(clip),
+            ])
+        out = buf.getvalue()
+        if verbose:
+            sys.stderr.write(out)
+        m = re.search(r"Decode wait \(s/f\): ([0-9.]+)", out)
+        assert m, f"no decode_wait stage in the CLI report:\n{out}"
+        wait_s_per_frame = float(m.group(1))
+        assert "Average PCP" in out, f"no PCP table produced:\n{out}"
+
+        frac = wait_s_per_frame / serial_s_per_frame
+        result = {
+            "frames": frames,
+            "serial_ms_per_frame": serial_s_per_frame * 1e3,
+            "decode_wait_ms_per_frame": wait_s_per_frame * 1e3,
+            "wait_fraction_of_serial": frac,
+            "native_drain_rates": rates["native"],
+            "pil_imgs_per_sec": serial_imgs_s,
+        }
+        if verbose:
+            print(
+                f"decode_wait {wait_s_per_frame * 1e3:.2f} ms/frame = "
+                f"{frac * 100:.1f}% of the serial decode cost "
+                f"({serial_s_per_frame * 1e3:.1f} ms/frame)"
+            )
+        if max_wait_frac is not None:
+            assert frac <= max_wait_frac, (
+                f"decode-ahead pool did NOT overlap dispatch: host thread "
+                f"blocked {wait_s_per_frame * 1e3:.1f} ms/frame = "
+                f"{frac * 100:.0f}% of serial decode "
+                f"(gate {max_wait_frac * 100:.0f}%)"
+            )
+        return result
+    finally:
+        if owned:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    keep = _argval("--keep")
+    res = run(
+        frames=int(_argval("--frames", 48)),
+        clip=int(_argval("--clip", 8)),
+        max_wait_frac=float(_argval("--max-wait-frac", 0.5)),
+        root=keep,
+    )
+    print("OK", res)
+
+
+if __name__ == "__main__":
+    main()

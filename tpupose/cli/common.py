@@ -202,11 +202,21 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer,
     return multi_poses3d, annotations
 
 
-def dataset_frame_source(cfg: Config, use_native: bool = True):
+def dataset_frame_source(cfg: Config, use_native: bool = True,
+                         timer: StageTimer | None = None):
     """Frames from disk; decodes through the C++ prefetching FrameLoader
     (worker threads decode ahead, overlapping host I/O with device compute —
     `tpupose/runtime/loader.cc`) when the files are JPEGs and the native
-    runtime is available, with a sequential PIL fallback otherwise."""
+    runtime is available, with a sequential PIL fallback otherwise.
+
+    When `timer` is given, the host-thread time spent BLOCKED waiting for
+    the next decoded frame is recorded as the `decode_wait` stage. On the
+    FrameLoader path this is the decode-ahead pool's stall signature: after
+    warmup it should be ~0 s/frame when device dispatch keeps the workers
+    ahead (asserted at full image size by
+    `scripts/ingest_dress_rehearsal.py`). On the PIL fallback it is the
+    full serial decode cost — the same cost the reference pays inside its
+    timed loop (`src/dataset.py:36-45`)."""
     from tpupose.data.dataset import parse_timestamp
 
     datas = load_filenames(cfg.dataset)
@@ -221,10 +231,13 @@ def dataset_frame_source(cfg: Config, use_native: bool = True):
 
         if native.available():
             loader = native.FrameLoader(frame_paths, prefetch=4, threads=2)
+            it = iter(loader)
             try:
-                for frame_id, paths, images in zip(
-                    range(start, end), frame_paths, loader
-                ):
+                for frame_id, paths in zip(range(start, end), frame_paths):
+                    t0 = _time.perf_counter()
+                    images = next(it)
+                    if timer is not None:
+                        timer.add("decode_wait", _time.perf_counter() - t0)
                     timestamp = parse_timestamp(
                         cfg.dataset.test_dataset, paths[0]
                     )
@@ -234,8 +247,12 @@ def dataset_frame_source(cfg: Config, use_native: bool = True):
             return
 
     for frame_id in range(start, end):
+        t0 = _time.perf_counter()
         images, timestamp = load_images(cfg.dataset.test_dataset, datas[frame_id])
-        yield frame_id, timestamp, np.stack(images), None, None
+        images = np.stack(images)
+        if timer is not None:
+            timer.add("decode_wait", _time.perf_counter() - t0)
+        yield frame_id, timestamp, images, None, None
 
 
 def synthetic_frame_source(num_frames=60, num_cameras=5, num_actors=3,

@@ -113,7 +113,7 @@ def main(argv=None):
     else:
         import numpy as np
 
-        source = dataset_frame_source(cfg)
+        source = dataset_frame_source(cfg, timer=timer)
         # peek first frame for image size
         first = next(source)
         images0 = first[2]

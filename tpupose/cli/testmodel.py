@@ -61,7 +61,7 @@ def main(argv=None):
         os.path.join(args.config_dir, args.dataset, "model_configs.yaml")
     )
     camera_parameter = load_camera_parameter(cfg)
-    source = dataset_frame_source(cfg)
+    source = dataset_frame_source(cfg, timer=timer)
     first = next(source)
     images0 = first[2]
     pipe = build_pipeline_real(cfg, camera_parameter, images0.shape[2],

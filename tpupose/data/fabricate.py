@@ -76,7 +76,8 @@ def make_actors_gt_mat(path, gt3d):
 
 def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
                            num_frames=24, seed=0, with_weights=False,
-                           image_format="jpg"):
+                           image_format="jpg", photo_noise=0.0,
+                           jpeg_quality=None):
     """Build the complete on-disk mini-dataset. Returns (config_path, paths).
 
     paths: dict with root / dump / yaml / weights entries.
@@ -95,6 +96,12 @@ def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
 
     # Per-camera frames, natsort-hostile names on purpose (frame10 < frame9
     # lexically) so the natural sort actually matters.
+    # photo_noise > 0 overlays per-pixel uint8 noise before the JPEG
+    # encode so the files carry photo-like entropy (a clean stick-figure
+    # render compresses to a few KB and decodes unrealistically fast —
+    # the ingest dress rehearsal needs realistic decode cost, matching
+    # runtime/ingest_bench.py::fabricate_jpeg_dataset).
+    noise_rng = np.random.default_rng(seed + 1)
     for c, folder in enumerate(folders):
         d = os.path.join(root, folder)
         os.makedirs(d, exist_ok=True)
@@ -103,10 +110,18 @@ def fabricate_mini_dataset(root, scene=None, dataset_name="MiniCampus",
                 scene.gt2d[t, c], scene.visible[t, c],
                 scene.width, scene.height,
             )
+            if photo_noise > 0.0:
+                img = np.clip(
+                    img.astype(np.int16) + noise_rng.integers(
+                        -int(photo_noise), int(photo_noise) + 1, img.shape
+                    ),
+                    0, 255,
+                ).astype(np.uint8)
             from PIL import Image
 
+            kw = {} if jpeg_quality is None else {"quality": jpeg_quality}
             Image.fromarray(img).save(
-                os.path.join(d, f"campus4-c{c}-{t}.{image_format}")
+                os.path.join(d, f"campus4-c{c}-{t}.{image_format}"), **kw
             )
 
     with open(os.path.join(root, "camera_parameter.pickle"), "wb") as f:

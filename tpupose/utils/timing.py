@@ -49,6 +49,16 @@ class StageTimer:
             lines.append(f"fps: {1.0 / denom:f}")
         if track > 0:
             lines.append(f"tracking fps: {1.0 / track:f}")
+        if "decode_wait" in self.totals:
+            # Host-thread stall waiting for the next decoded frame (the
+            # decode-ahead pool's overlap signature — ~0 when the C++
+            # FrameLoader workers stay ahead of device dispatch; the full
+            # serial decode cost on the PIL fallback). Not part of the
+            # reference report format (its decode is unmeasured, inside
+            # the timed loop — src/dataset.py:36-45).
+            lines.append(
+                f"Decode wait (s/f): {self.per_frame('decode_wait'):f}"
+            )
         return "\n".join(lines)
 
 

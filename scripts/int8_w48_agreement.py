@@ -525,7 +525,9 @@ if __name__ == "__main__":
     load = _argval("--load")
     if load:
         folded, imgs, kps = _load_bundle(load)
-        base_err = 152.64  # untrained W48 baseline (measured 2026-08-18)
+        # untrained-decode context line: 152.64 px measured for W48
+        # (2026-08-18); unknown for a loaded non-W48 bundle
+        base_err = 152.64 if cfg is None else float("nan")
     else:
         folded, imgs, kps, base_err = learned_w48(cfg=cfg)
         save = _argval("--save")

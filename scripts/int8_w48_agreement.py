@@ -303,8 +303,13 @@ def _dual_decode_report(folded, qp, cfg, imgs, kps, base_err, label):
     # accuracy delta 1.82 px — vs plain PTQ's 50+ px argmax jumps.
     cell = cfg.input_size[0] / cfg.heatmap_size[0]
     ebf_p, eq_p, med_p, p95_p = out["parabolic"]
+    # base_err is nan for a loaded non-W48 bundle (untrained baseline not
+    # re-measured); the learned-at-all certificate then falls back to an
+    # absolute bound well below any untrained model's error.
+    learned_ok = (ebf_p < base_err / 3 if np.isfinite(base_err)
+                  else ebf_p < 10.0)
     return (
-        ebf_p < base_err / 3
+        learned_ok
         and med_p <= cell / 2               # median sub-HALF-heatmap-pixel
         and p95_p <= cell                   # p95 sub-heatmap-pixel
         and abs(eq_p - ebf_p) <= cell / 2   # accuracy delta within half cell
@@ -313,18 +318,23 @@ def _dual_decode_report(folded, qp, cfg, imgs, kps, base_err, label):
 
 
 def distill_evaluate(folded, cfg, imgs, kps, base_err, steps=300, lr=1e-5,
-                     batch=4):
+                     batch=4, distill_imgs=None):
     """The SHIPPABLE QAT path (`quantize.distill_qat`, what
     `convert/evalmodel --int8 --qat-steps N` run): label-free fine-tune of
     the fake-quant tree against the float model's own outputs, then
-    requantize — evaluated at W48 scale against the bf16 model."""
+    requantize — evaluated at W48 scale against the bf16 model.
+
+    distill_imgs: optional separate distillation set (e.g. scene crops,
+    matching the e2e PCP run's calibration protocol); evaluation always
+    runs on `imgs`/`kps` (the held-out val batch)."""
     from tpupose.models.hrnet import hrnet_apply
     from tpupose.models.quantize import distill_qat, hrnet_skip_ids
 
     def apply_fn(p, b):
         return hrnet_apply(p, cfg, b)
 
-    batches = [imgs[i:i + batch] for i in range(0, imgs.shape[0], batch)]
+    src = imgs if distill_imgs is None else distill_imgs
+    batches = [src[i:i + batch] for i in range(0, src.shape[0], batch)]
     print(f"distill-QAT ({steps} steps @ lr={lr}, {len(batches)} batches of "
           f"{batch}) ...", file=sys.stderr, flush=True)
     qp = distill_qat(
@@ -547,9 +557,24 @@ if __name__ == "__main__":
 
     if "--distill" in sys.argv:
         steps = int(_argval("--distill", 300))
+        distill_imgs = None
+        n_crops = int(_argval("--distill-scene-crops", 0))
+        if n_crops:
+            # distill on freshly rendered scene crops — the e2e PCP run's
+            # calibration protocol (scripts/int8_e2e_pcp.py uses the first
+            # --calib crops of the same scene) — instead of the 8-image
+            # val batch; evaluation stays on the held-out val batch.
+            import jax.numpy as jnp
+
+            from tpupose.eval.e2e import build_scene_crops
+
+            frames = max(1, -(-n_crops // 10))  # 10 crops per frame
+            _, crops, _ = build_scene_crops(cfg, num_frames=max(frames, 6))
+            distill_imgs = jnp.asarray(crops[:n_crops])
         ok = distill_evaluate(folded, cfg, imgs, kps, base_err, steps=steps,
                               lr=float(_argval("--lr", 1e-5)),
-                              batch=int(_argval("--batch", 4)))
+                              batch=int(_argval("--batch", 4)),
+                              distill_imgs=distill_imgs)
         print("OK" if ok else "FAIL")
         sys.exit(0 if ok else 1)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import sys
 import time as _time
 
 import numpy as np
@@ -203,7 +204,8 @@ def run_eval_loop(cfg: Config, pipe: Pipeline, frame_source, timer: StageTimer,
 
 
 def dataset_frame_source(cfg: Config, use_native: bool = True,
-                         timer: StageTimer | None = None):
+                         timer: StageTimer | None = None,
+                         prefetch: int = 4):
     """Frames from disk; decodes through the C++ prefetching FrameLoader
     (worker threads decode ahead, overlapping host I/O with device compute —
     `tpupose/runtime/loader.cc`) when the files are JPEGs and the native
@@ -230,19 +232,45 @@ def dataset_frame_source(cfg: Config, use_native: bool = True,
         from tpupose.runtime import native
 
         if native.available():
-            loader = native.FrameLoader(frame_paths, prefetch=4, threads=2)
+            # prefetch must cover the consumer's BURST: clip mode pulls
+            # `clip` frames back-to-back then idles on device dispatch, so
+            # a buffer smaller than the clip forces inline decodes mid-
+            # burst (measured 47 -> 7 ms/frame blocked at prefetch 4 -> 8
+            # on a 1-core host, clip 8 — docs/PERF.md round 5). Capped at
+            # 16 frames (~220 MB at 5x720p) to bound resident memory.
+            loader = native.FrameLoader(
+                frame_paths, prefetch=min(max(4, prefetch), 16), threads=2
+            )
             it = iter(loader)
+            debug_waits = os.environ.get("TPUPOSE_DEBUG_DECODE_WAIT")
             try:
                 for frame_id, paths in zip(range(start, end), frame_paths):
                     t0 = _time.perf_counter()
                     images = next(it)
+                    wait = _time.perf_counter() - t0
+                    if debug_waits:
+                        print(f"decode_wait[{frame_id}] {wait * 1e3:.1f} ms",
+                              file=sys.stderr, flush=True)
                     if timer is not None:
-                        timer.add("decode_wait", _time.perf_counter() - t0)
+                        timer.add("decode_wait", wait)
                     timestamp = parse_timestamp(
                         cfg.dataset.test_dataset, paths[0]
                     )
                     yield frame_id, timestamp, images, None, None
             finally:
+                stats = loader.stats()
+                if debug_waits:
+                    print(f"loader stats: {stats}", file=sys.stderr,
+                          flush=True)
+                if timer is not None and stats["frames_decoded"]:
+                    # Workers' ACTUAL decode wall time (vs decode_wait =
+                    # consumer blocked). In-situ decode far above the
+                    # quiet-host serial cost means the core was contended
+                    # while decoding — CPU famine, not pool serialization
+                    # (scripts/ingest_dress_rehearsal.py uses the ratio to
+                    # self-diagnose saturated hosts).
+                    timer.add("decode_work", stats["decode_s"],
+                              count=int(stats["frames_decoded"]))
                 loader.close()
             return
 

@@ -113,7 +113,8 @@ def main(argv=None):
     else:
         import numpy as np
 
-        source = dataset_frame_source(cfg, timer=timer)
+        source = dataset_frame_source(cfg, timer=timer,
+                                      prefetch=max(4, args.clip))
         # peek first frame for image size
         first = next(source)
         images0 = first[2]

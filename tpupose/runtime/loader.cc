@@ -10,6 +10,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -107,24 +108,34 @@ struct Loader {
   std::vector<Frame> stash;      // out-of-order completions
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
+  // Observability: where worker wall time went (ns) — actual decode vs
+  // blocked on the credit window (consumer behind). Lets the host tell
+  // "workers are slow" from "workers are idle" when decode_wait rises.
+  std::atomic<int64_t> decode_ns{0}, credit_wait_ns{0}, frames_done{0};
 
   void worker() {
+    using clock = std::chrono::steady_clock;
     for (;;) {
       const int64_t idx = next_to_decode.fetch_add(1);
       if (idx >= static_cast<int64_t>(frames.size())) return;
       {
         // Credit window: decode at most `prefetch` frames ahead of the
         // consumer (bounds memory; stash size is bounded by the window).
+        const auto w0 = clock::now();
         std::unique_lock<std::mutex> lock(mu);
         cv_produce.wait(lock, [&] {
           return stop.load() ||
                  idx < consumed + static_cast<int64_t>(prefetch);
         });
+        credit_wait_ns.fetch_add(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(
+                clock::now() - w0).count());
         if (stop.load()) return;
       }
       Frame fr;
       fr.index = idx;
       fr.ok = true;
+      const auto d0 = clock::now();
       const int n_views = static_cast<int>(frames[idx].size());
       for (int v = 0; v < n_views; ++v) {
         if (!decode_view(frames[idx][v], &fr, v, n_views)) {
@@ -132,6 +143,10 @@ struct Loader {
           break;
         }
       }
+      decode_ns.fetch_add(
+          std::chrono::duration_cast<std::chrono::nanoseconds>(
+              clock::now() - d0).count());
+      frames_done.fetch_add(1);
       std::unique_lock<std::mutex> lock(mu);
       stash.push_back(std::move(fr));
       // Promote in-order frames from the stash to the ready queue.
@@ -201,6 +216,16 @@ int32_t tpupose_loader_next(void* handle, uint8_t* out, int64_t out_size,
 
 int64_t tpupose_loader_total(void* handle) {
   return static_cast<Loader*>(handle)->frames.size();
+}
+
+// Worker time breakdown: decode wall-ns, credit-window wait ns, frames
+// decoded so far (all workers summed).
+void tpupose_loader_stats(void* handle, int64_t* decode_ns,
+                          int64_t* credit_wait_ns, int64_t* frames_done) {
+  auto* l = static_cast<Loader*>(handle);
+  *decode_ns = l->decode_ns.load();
+  *credit_wait_ns = l->credit_wait_ns.load();
+  *frames_done = l->frames_done.load();
 }
 
 void tpupose_loader_destroy(void* handle) {

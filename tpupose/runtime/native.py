@@ -62,6 +62,13 @@ def _load():
         ]
         lib.tpupose_loader_total.restype = ctypes.c_int64
         lib.tpupose_loader_total.argtypes = [ctypes.c_void_p]
+        lib.tpupose_loader_stats.restype = None
+        lib.tpupose_loader_stats.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.tpupose_loader_destroy.restype = None
         lib.tpupose_loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -157,6 +164,21 @@ class FrameLoader:
             .reshape(self.num_views, h.value, w.value, 3)
             .copy()
         )
+
+    def stats(self):
+        """Worker time breakdown: seconds spent decoding vs blocked on the
+        credit window, and frames decoded (all workers summed)."""
+        d = ctypes.c_int64()
+        w = ctypes.c_int64()
+        n = ctypes.c_int64()
+        self._lib.tpupose_loader_stats(
+            self._handle, ctypes.byref(d), ctypes.byref(w), ctypes.byref(n)
+        )
+        return {
+            "decode_s": d.value / 1e9,
+            "credit_wait_s": w.value / 1e9,
+            "frames_decoded": n.value,
+        }
 
     def close(self):
         if self._handle:

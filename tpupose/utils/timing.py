@@ -49,6 +49,15 @@ class StageTimer:
             lines.append(f"fps: {1.0 / denom:f}")
         if track > 0:
             lines.append(f"tracking fps: {1.0 / track:f}")
+        if "decode_work" in self.totals:
+            # Decode-ahead workers' actual per-frame decode wall time
+            # (C++ side). Compare with a quiet-host serial decode: a
+            # large ratio means the host core(s) were contended during
+            # the run, so any decode_wait above reflects CPU famine
+            # rather than missing overlap.
+            lines.append(
+                f"Decode work (s/f): {self.per_frame('decode_work'):f}"
+            )
         if "decode_wait" in self.totals:
             # Host-thread stall waiting for the next decoded frame (the
             # decode-ahead pool's overlap signature — ~0 when the C++

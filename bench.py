@@ -458,21 +458,19 @@ def main():
                 f"fast-serving alternative model (scales: timing-only)",
                 file=sys.stderr,
             )
-            # "W32_JSON: " prefix keeps this from parsing as a bare JSON
-            # line — it is an auxiliary measurement, NOT the comparable
-            # round-over-round headline (VERDICT r4 next-round item 2).
+            # key=value, NO braces: rounds 3 and 4 both recorded this
+            # auxiliary leg as the headline because the driver parses the
+            # last JSON-shaped line of the merged tail and stream order /
+            # prefix tolerance are outside our control. A record with no
+            # JSON syntax at all cannot be mis-parsed; the comparable
+            # headline stays the W48 flagship on stdout (VERDICT r4
+            # next-round item 2).
             print(
-                "W32_JSON: " + json.dumps(
-                    {
-                        "metric": "multi-view frames/sec (fast-serving "
-                                  "alternative model: 5-view YOLOv3+HRNet-"
-                                  "W32@256x192 + tracker, 1 chip, int8)",
-                        "value": round(fps_32, 3),
-                        "unit": "frames/sec",
-                        "vs_baseline": round(fps_32 / per_chip_target, 3),
-                        "scales": "uncalibrated-timing-only",
-                    }
-                ),
+                "W32_RECORD: metric=fast-serving-alternative-model-"
+                "W32@256x192-int8 value="
+                f"{round(fps_32, 3)} unit=frames/sec vs_baseline="
+                f"{round(fps_32 / per_chip_target, 3)} "
+                "scales=uncalibrated-timing-only",
                 file=sys.stderr,
                 flush=True,
             )

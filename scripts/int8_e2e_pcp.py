@@ -117,9 +117,23 @@ def main():
     frames = int(_argval("--frames", 40))
     qat_steps = int(_argval("--qat-steps", 900))
     n_calib = int(_argval("--calib", 32))
-    print(f"building scene + rendering crops ({frames} frames x 5 cams x "
-          "2 actors) ...", file=sys.stderr, flush=True)
-    scene, crops, eboxes = build_scene_crops(cfg, num_frames=frames)
+    n_cams = int(_argval("--cams", 5))
+    n_actors = int(_argval("--actors", 2))
+    scene_obj = None
+    if n_cams != 5 or n_actors != 2:
+        # Harder operating points (fewer views = less triangulation
+        # redundancy) probe WHERE the end-metric gate starts separating
+        # int8 recipes — at the default 5-camera scene a well-trained
+        # model saturates PCP for every tree incl. plain PTQ (PERF.md r5).
+        from tpupose.data.synthetic import make_scene
+
+        scene_obj = make_scene(num_frames=frames, num_cameras=n_cams,
+                               num_actors=n_actors, noise_px=0.0, seed=0)
+    print(f"building scene + rendering crops ({frames} frames x {n_cams} "
+          f"cams x {n_actors} actors) ...", file=sys.stderr, flush=True)
+    scene, crops, eboxes = build_scene_crops(cfg, num_frames=frames,
+                                             num_actors=n_actors,
+                                             scene=scene_obj)
 
     bf16_only = "--bf16-only" in sys.argv
     if bf16_only:
